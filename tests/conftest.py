@@ -1,0 +1,30 @@
+"""Test configuration: force a hermetic 8-device CPU mesh.
+
+Tests must run identically with or without TPU hardware attached; multi-chip
+sharding tests use XLA's virtual host devices. These env vars must be set
+before jax is imported anywhere in the test process.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The axon sitecustomize force-sets jax_platforms="axon,cpu" at interpreter
+# start regardless of JAX_PLATFORMS; point it back at CPU before any backend
+# is initialized so tests are hermetic and fast.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(42)
