@@ -1,0 +1,163 @@
+"""Linear assignment inside the jitted training step.
+
+The reference calls scipy.optimize.linear_sum_assignment twice per training
+step, round-tripping device->CPU->device (reference neat_wfr_rend_a.py:473,
+loss_wfr.py:108). That breaks pjit tracing and serializes the step, so this
+module provides two interchangeable implementations with static shapes and
+validity masks:
+
+  * ``auction``  — a jax-native synchronous (Jacobi) auction algorithm
+    (Bertsekas). All unassigned rows bid on their best column at once;
+    columns accept the highest bid and evict the previous owner. With the
+    eps slack this converges to an assignment whose cost is within
+    n_rows*eps of optimal. Fully jittable and shardable; the default.
+  * ``callback`` — bit-faithful scipy Hungarian via jax.pure_callback, for
+    parity experiments on a single host.
+
+Both operate on padded matrices: ``row_mask``/``col_mask`` mark the live
+entries; padded rows come back with ``valid=False``. When more rows than
+columns are live, the surplus rows simply end the auction unassigned —
+matching scipy's min(n, m)-sized output up to the subset choice.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BIG = 1e9
+
+
+def _scipy_masked_lsa(cost, row_mask, col_mask):
+    """Host-side Hungarian over the masked submatrix, padded back out."""
+    from scipy.optimize import linear_sum_assignment
+
+    cost = np.asarray(cost)
+    row_mask = np.asarray(row_mask, dtype=bool)
+    col_mask = np.asarray(col_mask, dtype=bool)
+    rows = np.nonzero(row_mask)[0]
+    cols = np.nonzero(col_mask)[0]
+    col_for_row = np.zeros(cost.shape[0], dtype=np.int32)
+    valid = np.zeros(cost.shape[0], dtype=bool)
+    if len(rows) and len(cols):
+        sub = cost[np.ix_(rows, cols)]
+        ri, ci = linear_sum_assignment(sub)
+        col_for_row[rows[ri]] = cols[ci].astype(np.int32)
+        valid[rows[ri]] = True
+    return col_for_row, valid
+
+
+def hungarian_callback(
+    cost: jnp.ndarray, row_mask: jnp.ndarray, col_mask: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """scipy Hungarian as a host callback (single-host parity mode)."""
+    n_rows = cost.shape[0]
+    out_shapes = (
+        jax.ShapeDtypeStruct((n_rows,), jnp.int32),
+        jax.ShapeDtypeStruct((n_rows,), jnp.bool_),
+    )
+    return jax.pure_callback(
+        _scipy_masked_lsa, out_shapes, cost, row_mask, col_mask, vmap_method="sequential"
+    )
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def auction_assignment(
+    cost: jnp.ndarray,
+    row_mask: jnp.ndarray,
+    col_mask: jnp.ndarray,
+    n_iters: int = 256,
+    eps: Optional[float] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Jacobi auction on a (R, C) cost matrix with validity masks.
+
+    Returns (col_for_row (R,) int32, valid (R,) bool). Minimizes cost.
+    The loop is bounded by ``n_iters``; when live rows outnumber live
+    columns the surplus rows end unassigned (valid=False), mirroring the
+    min(n, m)-sized Hungarian output.
+    """
+    n_rows, n_cols = cost.shape
+    benefit = -jnp.where(col_mask[None, :], cost, _BIG)
+    benefit = jnp.where(row_mask[:, None], benefit, -_BIG)
+    row_ids = jnp.arange(n_rows, dtype=jnp.int32)
+
+    if eps is None:
+        # slack ~ spread / rows: near-optimal yet fast to converge
+        live = jnp.abs(benefit) < _BIG / 2
+        lo = jnp.min(jnp.where(live, benefit, jnp.inf))
+        hi = jnp.max(jnp.where(live, benefit, -jnp.inf))
+        spread = jnp.maximum(jnp.where(jnp.isfinite(hi - lo), hi - lo, 1.0), 1e-6)
+        eps_val = spread / (n_rows + 1)
+    else:
+        eps_val = jnp.asarray(eps)
+
+    def body(state):
+        it, prices, owner_of_col, col_of_row = state
+        active = row_mask & (col_of_row < 0)
+
+        value = benefit - prices[None, :]  # (R, C)
+        best_j = jnp.argmax(value, axis=1)
+        best_v = jnp.max(value, axis=1)
+        value2 = value.at[row_ids, best_j].set(-jnp.inf)
+        second_v = jnp.max(value2, axis=1)
+        bid = prices[best_j] + (best_v - second_v) + eps_val
+        bid = jnp.where(active, bid, -jnp.inf)
+
+        # each column accepts the single highest bid; ties -> lowest row id
+        col_best = jnp.full((n_cols,), -jnp.inf).at[best_j].max(bid, mode="drop")
+        achieves = active & (bid >= col_best[best_j]) & jnp.isfinite(bid)
+        cand = jnp.where(achieves, row_ids, n_rows)
+        winner = (
+            jnp.full((n_cols,), n_rows, dtype=jnp.int32)
+            .at[best_j]
+            .min(cand, mode="drop")
+        )
+        won = achieves & (winner[best_j] == row_ids)
+        contested = jnp.zeros((n_cols,), dtype=bool).at[best_j].max(won, mode="drop")
+
+        # evict previous owners of newly won columns (out-of-range drops)
+        evict_rows = jnp.where(contested & (owner_of_col >= 0), owner_of_col, n_rows)
+        col_of_row = col_of_row.at[evict_rows].set(-1, mode="drop")
+        owner_of_col = jnp.where(contested, winner, owner_of_col)
+        prices = jnp.where(contested, col_best, prices)
+        col_of_row = jnp.where(won, best_j.astype(jnp.int32), col_of_row)
+        return it + 1, prices, owner_of_col, col_of_row
+
+    def cond(state):
+        it, _, _, col_of_row = state
+        return (it < n_iters) & jnp.any(row_mask & (col_of_row < 0))
+
+    init = (
+        jnp.asarray(0, dtype=jnp.int32),
+        jnp.zeros((n_cols,), dtype=cost.dtype),
+        jnp.full((n_cols,), -1, dtype=jnp.int32),
+        jnp.full((n_rows,), -1, dtype=jnp.int32),
+    )
+    _, _, _, col_of_row = jax.lax.while_loop(cond, body, init)
+    valid = row_mask & (col_of_row >= 0)
+    return jnp.where(valid, col_of_row, 0).astype(jnp.int32), valid
+
+
+def masked_assignment(
+    cost: jnp.ndarray,
+    row_mask: Optional[jnp.ndarray] = None,
+    col_mask: Optional[jnp.ndarray] = None,
+    method: str = "auction",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Min-cost row->column assignment with padding masks.
+
+    cost: (R, C). Returns (col_for_row (R,) int32, valid (R,) bool).
+    """
+    if row_mask is None:
+        row_mask = jnp.ones(cost.shape[0], dtype=bool)
+    if col_mask is None:
+        col_mask = jnp.ones(cost.shape[1], dtype=bool)
+    if method == "callback":
+        return hungarian_callback(cost, row_mask, col_mask)
+    elif method == "auction":
+        return auction_assignment(cost, row_mask, col_mask)
+    raise ValueError(f"unknown assignment method: {method}")

@@ -1,0 +1,348 @@
+"""Ray samplers: uniform and VolSDF error-bounded.
+
+Parity target: reference code/model/ray_sampler.py.
+
+The error-bounded sampler (ErrorBoundSampler.get_z_vals, ray_sampler.py:
+130-283) implements VolSDF's Algorithm 1: uniform init, a per-ray maximal
+beta from the opacity-error upper bound (Lemma 2), then up to
+``max_total_iters`` rounds of (SDF eval -> d* triangle bound -> 10-step beta
+bisection -> error-driven inverse-CDF resampling), and a final draw of
+``N_samples`` from the volume-rendering weights plus ``N_samples_extra``
+stratified leftovers and the near/far endpoints.
+
+TPU-static re-design (deliberate deviation, documented):
+  * The reference stops iterating once ``beta.max() <= beta0`` — a global,
+    data-dependent trip count. Under XLA we always run ``max_total_iters``
+    rounds; each round only sharpens the proposal distribution, so converged
+    rays keep sampling from an (at least as good) error bound. Shapes grow
+    statically per unrolled round: 128 -> 256 -> ... -> 640.
+  * Beta bisection and masked updates follow the reference formulas exactly.
+  * All sampler math runs under stop_gradient semantics: the returned z
+    values are constants to the autodiff graph (the reference evaluates the
+    SDF for sampling under torch.no_grad()).
+
+The per-round SDF evaluations dominate training cost (SURVEY.md §3.2); they
+are batched (R*128, 3) matmul chains that map straight onto the MXU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.camera import get_sphere_intersections
+from ..core.density import laplace_density, get_beta
+from ..core.render import alpha_transmittance
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _searchsorted_right(cdf: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """Row-wise searchsorted(cdf, u, side='right'). cdf: (R, S), u: (R, N)."""
+    return jax.vmap(partial(jnp.searchsorted, side="right"))(cdf, u)
+
+
+def _invert_cdf(
+    bins: jnp.ndarray, cdf: jnp.ndarray, u: jnp.ndarray
+) -> jnp.ndarray:
+    """Inverse-CDF draw (reference ray_sampler.py:237-249).
+
+    bins: (R, S) sorted sample positions; cdf: (R, S) with leading 0;
+    u: (R, N) in [0,1]. Returns (R, N).
+    """
+    inds = _searchsorted_right(cdf, u)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_b = jnp.take_along_axis(bins, below, axis=-1)
+    bins_a = jnp.take_along_axis(bins, above, axis=-1)
+    denom = cdf_a - cdf_b
+    denom = jnp.where(denom < 1e-5, 1.0, denom)
+    t = (u - cdf_b) / denom
+    return bins_b + t * (bins_a - bins_b)
+
+
+def sample_pdf(
+    rng,
+    bins: jnp.ndarray,
+    weights: jnp.ndarray,
+    n_samples: int,
+    det: bool = False,
+) -> jnp.ndarray:
+    """Hierarchical sampling (reference ray_sampler.py:16-59).
+
+    bins: (R, S); weights: (R, S-1) -> samples (R, n_samples).
+    """
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+    if det:
+        u = jnp.broadcast_to(
+            jnp.linspace(0.0, 1.0, n_samples), (*cdf.shape[:-1], n_samples)
+        )
+    else:
+        u = jax.random.uniform(rng, (*cdf.shape[:-1], n_samples))
+    return _invert_cdf(bins, cdf, u)
+
+
+# ---------------------------------------------------------------------------
+# uniform sampler
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class UniformSamplerConfig:
+    scene_bounding_sphere: float = 3.0
+    near: float = 0.0
+    n_samples: int = 64
+    take_sphere_intersection: bool = False
+    far: float = -1.0  # -1 -> 2 * bounding sphere
+
+    @property
+    def far_value(self) -> float:
+        return 2.0 * self.scene_bounding_sphere if self.far == -1.0 else self.far
+
+
+def uniform_z_vals(
+    rng,
+    ray_dirs: jnp.ndarray,
+    cam_loc: jnp.ndarray,
+    cfg: UniformSamplerConfig,
+    training: bool,
+) -> jnp.ndarray:
+    """Uniform (optionally stratified) z values (reference ray_sampler.py:
+    69-95). ray_dirs, cam_loc: (R, 3) -> (R, n_samples)."""
+    n_rays = ray_dirs.shape[0]
+    near = jnp.full((n_rays, 1), cfg.near, dtype=ray_dirs.dtype)
+    if cfg.take_sphere_intersection:
+        inter = get_sphere_intersections(
+            cam_loc, ray_dirs, radius=cfg.scene_bounding_sphere
+        )
+        far = inter[:, 1:]
+    else:
+        far = jnp.full((n_rays, 1), cfg.far_value, dtype=ray_dirs.dtype)
+
+    t = jnp.linspace(0.0, 1.0, cfg.n_samples, dtype=ray_dirs.dtype)
+    z_vals = near * (1.0 - t) + far * t
+    if training:
+        mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        upper = jnp.concatenate([mids, z_vals[..., -1:]], axis=-1)
+        lower = jnp.concatenate([z_vals[..., :1], mids], axis=-1)
+        t_rand = jax.random.uniform(rng, z_vals.shape, dtype=z_vals.dtype)
+        z_vals = lower + (upper - lower) * t_rand
+    return z_vals
+
+
+# ---------------------------------------------------------------------------
+# error-bounded sampler
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ErrorBoundSamplerConfig:
+    scene_bounding_sphere: float = 3.0
+    near: float = 0.0
+    n_samples: int = 64
+    n_samples_eval: int = 128
+    n_samples_extra: int = 32
+    eps: float = 0.1
+    beta_iters: int = 10
+    max_total_iters: int = 5
+    add_tiny: float = 0.0
+    inverse_sphere_bg: bool = False
+
+    @property
+    def far_value(self) -> float:
+        return 2.0 * self.scene_bounding_sphere
+
+
+def _d_star(z_vals: jnp.ndarray, sdf: jnp.ndarray) -> jnp.ndarray:
+    """Theorem-1 minimal distance bound per interval via triangle geometry
+    (reference ray_sampler.py:160-173). z_vals, sdf: (R, S) -> (R, S-1)."""
+    d = sdf
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    a, b, c = dists, jnp.abs(d[..., :-1]), jnp.abs(d[..., 1:])
+    first_cond = a**2 + b**2 <= c**2
+    second_cond = a**2 + c**2 <= b**2
+    s = (a + b + c) / 2.0
+    area = s * (s - a) * (s - b) * (s - c)
+    heron = (2.0 * jnp.sqrt(jnp.maximum(area, 0.0))) / jnp.maximum(a, 1e-12)
+    d_star = jnp.zeros_like(a)
+    d_star = jnp.where(first_cond, b, d_star)
+    d_star = jnp.where(second_cond, c, d_star)
+    mask = (~first_cond) & (~second_cond) & (b + c - a > 0)
+    d_star = jnp.where(mask, heron, d_star)
+    # zero out intervals whose endpoints straddle the surface
+    same_sign = jnp.sign(d[..., 1:]) * jnp.sign(d[..., :-1]) == 1
+    return jnp.where(same_sign, d_star, 0.0)
+
+
+def _error_bound(
+    beta: jnp.ndarray,
+    density_params,
+    beta_min: float,
+    sdf: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    dists: jnp.ndarray,
+    d_star: jnp.ndarray,
+) -> jnp.ndarray:
+    """Max per-ray opacity-error bound at the given beta (reference
+    ray_sampler.py:285-293). beta: (R, 1) or scalar; returns (R,)."""
+    density = laplace_density(sdf, density_params, beta_min=beta_min, beta=beta)
+    shifted = jnp.concatenate(
+        [jnp.zeros_like(dists[..., :1]), dists * density[..., :-1]], axis=-1
+    )
+    integral = jnp.cumsum(shifted, axis=-1)
+    err_sec = jnp.exp(-d_star / beta) * (dists**2) / (4.0 * beta**2)
+    err_int = jnp.cumsum(err_sec, axis=-1)
+    bound = (jnp.clip(jnp.exp(err_int), max=1e6) - 1.0) * jnp.exp(
+        -integral[..., :-1]
+    )
+    return jnp.max(bound, axis=-1)
+
+
+def error_bound_z_vals(
+    rng,
+    ray_dirs: jnp.ndarray,
+    cam_loc: jnp.ndarray,
+    sdf_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    density_params,
+    cfg: ErrorBoundSamplerConfig,
+    training: bool,
+    beta_min: float = 1e-4,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """VolSDF Algorithm-1 sampling with static shapes.
+
+    sdf_fn: (N, 3) -> (N,) clamped SDF (evaluated as constants — outputs are
+    stop_gradient'ed). Returns (z_vals (R, n_samples + n_samples_extra + 2),
+    z_eik (R, 1)).
+    """
+    r_uni, r_final, r_perm, r_eik = jax.random.split(rng, 4)
+    n_rays = ray_dirs.shape[0]
+    dtype = ray_dirs.dtype
+
+    beta0 = jax.lax.stop_gradient(get_beta(density_params, beta_min))
+    uni_cfg = UniformSamplerConfig(
+        scene_bounding_sphere=cfg.scene_bounding_sphere,
+        near=cfg.near,
+        n_samples=cfg.n_samples_eval,
+        take_sphere_intersection=cfg.inverse_sphere_bg,
+    )
+    z_vals = uniform_z_vals(r_uni, ray_dirs, cam_loc, uni_cfg, training)
+
+    def eval_sdf(z):
+        pts = cam_loc[:, None, :] + z[..., None] * ray_dirs[:, None, :]
+        vals = sdf_fn(pts.reshape(-1, 3))
+        return jax.lax.stop_gradient(vals.reshape(z.shape))
+
+    sdf = eval_sdf(z_vals)
+
+    # per-ray maximal beta from Lemma 2
+    dists0 = z_vals[..., 1:] - z_vals[..., :-1]
+    bound = (1.0 / (4.0 * math.log(cfg.eps + 1.0))) * jnp.sum(dists0**2, -1)
+    beta = jnp.sqrt(bound)
+
+    weights = None
+    for it in range(cfg.max_total_iters):
+        dists = z_vals[..., 1:] - z_vals[..., :-1]
+        d_star = _d_star(z_vals, sdf)
+
+        # beta line search (reference ray_sampler.py:176-185)
+        curr_error = _error_bound(
+            beta0, density_params, beta_min, sdf, z_vals, dists, d_star
+        )
+        beta = jnp.where(curr_error <= cfg.eps, beta0, beta)
+        beta_lo = jnp.full((n_rays,), beta0, dtype=dtype)
+        beta_hi = beta
+        for _ in range(cfg.beta_iters):
+            beta_mid = 0.5 * (beta_lo + beta_hi)
+            err = _error_bound(
+                beta_mid[:, None], density_params, beta_min, sdf, z_vals, dists, d_star
+            )
+            ok = err <= cfg.eps
+            beta_hi = jnp.where(ok, beta_mid, beta_hi)
+            beta_lo = jnp.where(ok, beta_lo, beta_mid)
+        beta = beta_hi
+
+        # volume-rendering weights at the per-ray beta
+        density = laplace_density(
+            sdf, density_params, beta_min=beta_min, beta=beta[:, None]
+        )
+        alpha, transmittance, _ = alpha_transmittance(z_vals, density)
+        weights = alpha * transmittance
+
+        if it < cfg.max_total_iters - 1:
+            # refine: sample proportional to the current error bound
+            err_sec = (
+                jnp.exp(-d_star / beta[:, None])
+                * (dists**2)
+                / (4.0 * beta[:, None] ** 2)
+            )
+            err_int = jnp.cumsum(err_sec, axis=-1)
+            bound_opacity = (
+                jnp.clip(jnp.exp(err_int), max=1e6) - 1.0
+            ) * transmittance[..., :-1]
+            pdf = bound_opacity + cfg.add_tiny
+            pdf = pdf / jnp.sum(pdf, axis=-1, keepdims=True)
+            cdf = jnp.cumsum(pdf, axis=-1)
+            cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+            u = jnp.broadcast_to(
+                jnp.linspace(0.0, 1.0, cfg.n_samples_eval, dtype=dtype),
+                (n_rays, cfg.n_samples_eval),
+            )
+            new_z = _invert_cdf(z_vals, cdf, u)
+            new_sdf = eval_sdf(new_z)
+            z_cat = jnp.concatenate([z_vals, new_z], axis=-1)
+            sdf_cat = jnp.concatenate([sdf, new_sdf], axis=-1)
+            order = jnp.argsort(z_cat, axis=-1)
+            z_vals = jnp.take_along_axis(z_cat, order, axis=-1)
+            sdf = jnp.take_along_axis(sdf_cat, order, axis=-1)
+
+    # final draw from the rendering weights (reference ray_sampler.py:218-249)
+    pdf = weights[..., :-1] + 1e-5
+    pdf = pdf / jnp.sum(pdf, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+    if training:
+        u = jax.random.uniform(r_final, (n_rays, cfg.n_samples), dtype=dtype)
+    else:
+        u = jnp.broadcast_to(
+            jnp.linspace(0.0, 1.0, cfg.n_samples, dtype=dtype),
+            (n_rays, cfg.n_samples),
+        )
+    z_samples = _invert_cdf(z_vals, cdf, u)
+
+    near = jnp.full((n_rays, 1), cfg.near, dtype=dtype)
+    if cfg.inverse_sphere_bg:
+        far = get_sphere_intersections(
+            cam_loc, ray_dirs, radius=cfg.scene_bounding_sphere
+        )[:, 1:]
+    else:
+        far = jnp.full((n_rays, 1), cfg.far_value, dtype=dtype)
+
+    total = z_vals.shape[-1]
+    if cfg.n_samples_extra > 0:
+        if training:
+            idx = jax.random.permutation(r_perm, total)[: cfg.n_samples_extra]
+        else:
+            idx = jnp.linspace(0, total - 1, cfg.n_samples_extra).astype(jnp.int32)
+        z_extra = jnp.concatenate([near, far, z_vals[:, idx]], axis=-1)
+    else:
+        z_extra = jnp.concatenate([near, far], axis=-1)
+
+    z_all = jnp.sort(jnp.concatenate([z_samples, z_extra], axis=-1), axis=-1)
+
+    # one random near-surface sample per ray for the eikonal term
+    eik_idx = jax.random.randint(r_eik, (n_rays, 1), 0, z_all.shape[-1])
+    z_eik = jnp.take_along_axis(z_all, eik_idx, axis=-1)
+    return jax.lax.stop_gradient(z_all), jax.lax.stop_gradient(z_eik)
