@@ -1,0 +1,371 @@
+"""Scene loaders: ABC (blender-style) and DTU / BMVS / ScanNet conventions.
+
+Parity targets:
+  * BlenderDataset — reference code/datasets/blender_hawp_dataset.py:
+    `cameras.npz{intrinsics, extrinsics}` with cam2world extrinsics; drops
+    views without usable wireframes; per-image attraction support maps.
+    (The reference's `reverse_coordinate` flag builds a diag(1,-1,-1,1)
+    flip that is never applied — dead code — so it is accepted and ignored
+    here.)
+  * SceneDataset — reference code/datasets/scene_hawp_dataset.py:
+    `cameras.npz{world_mat_i, scale_mat_i}` with P = world_mat @ scale_mat
+    decomposed into K / cam2world (rend_util.load_K_Rt_from_P).
+  * vanilla loaders without wireframes (scene_dataset.py, blender_dataset.py)
+    via ``with_wireframes=False``; ScanNet pose-dir convention via
+    ``load_scannet_scene``.
+
+TPU-first redesign: instead of a torch DataLoader streaming per-view dicts,
+the whole scene is packed into fixed-shape arrays (views x pixels) that live
+in device HBM; per-step ray sampling then happens *inside* the jitted train
+step (see train/step.py), eliminating host-device transfer from the hot
+loop. Support-region pixel indices are precomputed per view and padded to a
+common length for device-side uniform-with-replacement draws — the same
+distribution as the reference's np.random.choice over the mask
+(blender_hawp_dataset.py:189-190).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+import os.path as osp
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .wireframe import WireframeGraph
+from .encodels import attraction_support
+from ..core.camera import load_k_rt_from_p
+
+
+def _load_rgb(path: str) -> np.ndarray:
+    """Image as float32 [0,1], (H, W, 3) (reference rend_util.load_rgb)."""
+    import imageio.v2 as imageio
+
+    img = imageio.imread(path)
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    elif img.dtype == np.uint16:
+        img = img.astype(np.float32) / 65535.0
+    else:
+        img = img.astype(np.float32)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    if img.shape[-1] == 4:
+        img = img[..., :3]
+    return img
+
+
+def _glob_imgs(path: str) -> List[str]:
+    imgs = []
+    for ext in ("*.png", "*.jpg", "*.JPEG", "*.JPG", "*.bmp", "*.npy"):
+        imgs.extend(glob.glob(osp.join(path, ext)))
+    return sorted(imgs)
+
+
+@dataclasses.dataclass
+class SceneData:
+    """A whole scene packed into fixed-shape numpy arrays.
+
+    All per-pixel arrays are flattened row-major over (H, W); pixel index
+    i corresponds to uv = (i % W, i // W) in (x, y) coordinates.
+    """
+
+    rgb: np.ndarray  # (V, H*W, 3) float32
+    intrinsics: np.ndarray  # (V, 4, 4) float32
+    pose: np.ndarray  # (V, 4, 4) float32 cam2world
+    img_res: Tuple[int, int]  # (H, W)
+    scale_mat: np.ndarray  # (4, 4)
+
+    # wireframe supervision (None when with_wireframes=False)
+    mask: Optional[np.ndarray] = None  # (V, H*W) bool
+    labels: Optional[np.ndarray] = None  # (V, H*W) int32
+    uv_proj: Optional[np.ndarray] = None  # (V, H*W, 2) float32
+    lines: Optional[np.ndarray] = None  # (V, L_max, 5) float32 padded
+    n_lines: Optional[np.ndarray] = None  # (V,) int32
+    verts2d: Optional[np.ndarray] = None  # (V, V_max, 2) float32 padded
+    verts_mask: Optional[np.ndarray] = None  # (V, V_max) bool
+    support_idx: Optional[np.ndarray] = None  # (V, S_max) int32
+    support_count: Optional[np.ndarray] = None  # (V,) int32
+
+    view_ids: Optional[np.ndarray] = None  # original image indices kept
+
+    @property
+    def n_images(self) -> int:
+        return self.rgb.shape[0]
+
+    @property
+    def total_pixels(self) -> int:
+        return self.img_res[0] * self.img_res[1]
+
+    def uv_full(self) -> np.ndarray:
+        """(H*W, 2) full pixel grid in (x, y), matching the reference's
+        flipped mgrid (blender_hawp_dataset.py:149-151)."""
+        h, w = self.img_res
+        ys, xs = np.mgrid[0:h, 0:w]
+        return np.stack([xs, ys], axis=-1).reshape(-1, 2).astype(np.float32)
+
+
+def _pack_wireframes(
+    wireframes: List[WireframeGraph],
+    lines_list: List[np.ndarray],
+    img_res: Tuple[int, int],
+    distance_threshold: float,
+    max_verts: Optional[int] = None,
+    backend: str = "auto",
+):
+    h, w = img_res
+    v = len(wireframes)
+    l_max = max(ln.shape[0] for ln in lines_list)
+    v_max = max_verts or max(wf.num_vertices for wf in wireframes)
+
+    lines = np.zeros((v, l_max, 5), dtype=np.float32)
+    n_lines = np.zeros((v,), dtype=np.int32)
+    verts2d = np.zeros((v, v_max, 2), dtype=np.float32)
+    verts_mask = np.zeros((v, v_max), dtype=bool)
+    masks = np.zeros((v, h * w), dtype=bool)
+    labels = np.zeros((v, h * w), dtype=np.int32)
+    uv_proj = np.zeros((v, h * w, 2), dtype=np.float32)
+
+    for i, (wf, ln) in enumerate(zip(wireframes, lines_list)):
+        n = ln.shape[0]
+        lines[i, :n] = ln
+        n_lines[i] = n
+        nv = min(wf.num_vertices, v_max)
+        verts2d[i, :nv] = wf.vertices[:nv]
+        verts_mask[i, :nv] = True
+        m, lab, proj = attraction_support(
+            ln, h, w, distance_threshold=distance_threshold, backend=backend
+        )
+        masks[i] = m
+        labels[i] = lab
+        uv_proj[i] = proj
+
+    # padded support-index table for device-side sampling
+    counts = masks.sum(axis=1).astype(np.int32)
+    s_max = int(max(counts.max(), 1))
+    support_idx = np.zeros((v, s_max), dtype=np.int32)
+    for i in range(v):
+        idx = np.nonzero(masks[i])[0].astype(np.int32)
+        if len(idx) == 0:
+            idx = np.asarray([0], dtype=np.int32)
+            counts[i] = 1
+        support_idx[i, : len(idx)] = idx
+        # pad by wrapping so any index read is valid
+        if len(idx) < s_max:
+            reps = -(-s_max // len(idx))
+            support_idx[i] = np.tile(idx, reps)[:s_max]
+    return lines, n_lines, verts2d, verts_mask, masks, labels, uv_proj, support_idx, counts
+
+
+def load_blender_scene(
+    data_dir: str,
+    img_res: Tuple[int, int],
+    data_root: str = "../data",
+    reverse_coordinate: bool = False,  # accepted for conf parity; no-op
+    line_detector: str = "hawp",
+    distance_threshold: float = 10.0,
+    score_threshold: float = 0.05,
+    with_wireframes: bool = True,
+    max_verts: Optional[int] = None,
+    encodels_backend: str = "auto",
+) -> SceneData:
+    """ABC-style scene: cameras.npz{intrinsics, extrinsics} + hawp json."""
+    del reverse_coordinate
+    instance_dir = osp.join(data_root, data_dir)
+    assert osp.exists(instance_dir), f"Data directory {instance_dir} is empty"
+
+    image_paths = [p for p in _glob_imgs(osp.join(instance_dir, "images")) if "mask" not in p]
+    cam = np.load(osp.join(instance_dir, "cameras.npz"))
+    intr_all = cam["intrinsics"].astype(np.float32)
+    pose_all = cam["extrinsics"].astype(np.float32)
+
+    rgbs, wireframes, lines_list, valid_ids = [], [], [], []
+    for i, path in enumerate(image_paths):
+        if with_wireframes:
+            hawp_path = osp.join(
+                instance_dir,
+                line_detector,
+                osp.splitext(osp.basename(path))[0] + ".json",
+            )
+            wf = WireframeGraph.load_json(hawp_path)
+            if wf.num_vertices == 0 or wf.num_edges == 0:
+                continue
+            ln = wf.line_segments(score_threshold)
+            if ln.shape[0] == 0:
+                continue
+            assert wf.frame_height == img_res[0] and wf.frame_width == img_res[1]
+            wireframes.append(wf)
+            lines_list.append(ln)
+        img = _load_rgb(path)
+        assert img.shape[:2] == tuple(img_res), f"{img.shape} vs {img_res}"
+        rgbs.append(img.reshape(-1, 3))
+        valid_ids.append(i)
+
+    intr4 = np.tile(np.eye(4, dtype=np.float32), (len(valid_ids), 1, 1))
+    intr4[:, :3, :3] = intr_all[valid_ids][:, :3, :3]
+
+    scene = SceneData(
+        rgb=np.stack(rgbs),
+        intrinsics=intr4,
+        pose=pose_all[valid_ids],
+        img_res=tuple(img_res),
+        scale_mat=np.eye(4, dtype=np.float32),
+        view_ids=np.asarray(valid_ids, dtype=np.int32),
+    )
+    if with_wireframes:
+        (
+            scene.lines,
+            scene.n_lines,
+            scene.verts2d,
+            scene.verts_mask,
+            scene.mask,
+            scene.labels,
+            scene.uv_proj,
+            scene.support_idx,
+            scene.support_count,
+        ) = _pack_wireframes(
+            wireframes, lines_list, tuple(img_res), distance_threshold,
+            max_verts, encodels_backend,
+        )
+    return scene
+
+
+def load_dtu_scene(
+    data_dir: str,
+    img_res: Tuple[int, int],
+    scan_id: int = 0,
+    data_root: str = "../data",
+    line_detector: str = "hawp",
+    distance_threshold: float = 10.0,
+    score_threshold: float = 0.05,
+    with_wireframes: bool = True,
+    max_verts: Optional[int] = None,
+    encodels_backend: str = "auto",
+) -> SceneData:
+    """DTU/BMVS-style scene: cameras.npz{world_mat_i, scale_mat_i},
+    P = world_mat @ scale_mat -> K, cam2world (reference
+    scene_hawp_dataset.py:16-110)."""
+    instance_dir = osp.join(data_root, data_dir, f"scan{scan_id}")
+    assert osp.exists(instance_dir), f"Data directory {instance_dir} is empty"
+
+    image_paths = [p for p in _glob_imgs(osp.join(instance_dir, "image"))]
+    if not image_paths:
+        image_paths = [p for p in _glob_imgs(osp.join(instance_dir, "images"))]
+    n_all = len(image_paths)
+    cam = np.load(osp.join(instance_dir, "cameras.npz"))
+    scale_mats = [cam[f"scale_mat_{i}"].astype(np.float64) for i in range(n_all)]
+    world_mats = [cam[f"world_mat_{i}"].astype(np.float64) for i in range(n_all)]
+
+    intr_list, pose_list = [], []
+    for sm, wm in zip(scale_mats, world_mats):
+        p = (wm @ sm)[:3, :4]
+        intr, pose = load_k_rt_from_p(p)
+        intr_list.append(intr)
+        pose_list.append(pose)
+
+    rgbs, wireframes, lines_list, valid_ids = [], [], [], []
+    for i, path in enumerate(image_paths):
+        if with_wireframes:
+            hawp_path = osp.join(
+                instance_dir,
+                line_detector,
+                osp.splitext(osp.basename(path))[0] + ".json",
+            )
+            if not osp.exists(hawp_path):
+                continue
+            wf = WireframeGraph.load_json(hawp_path)
+            if wf.num_vertices == 0 or wf.num_edges == 0:
+                continue
+            ln = wf.line_segments(score_threshold)
+            if ln.shape[0] == 0:
+                continue
+            wireframes.append(wf)
+            lines_list.append(ln)
+        img = _load_rgb(path)
+        assert img.shape[:2] == tuple(img_res), f"{img.shape} vs {img_res}"
+        rgbs.append(img.reshape(-1, 3))
+        valid_ids.append(i)
+
+    scene = SceneData(
+        rgb=np.stack(rgbs),
+        intrinsics=np.stack([intr_list[i] for i in valid_ids]),
+        pose=np.stack([pose_list[i] for i in valid_ids]),
+        img_res=tuple(img_res),
+        scale_mat=scale_mats[0].astype(np.float32),
+        view_ids=np.asarray(valid_ids, dtype=np.int32),
+    )
+    if with_wireframes:
+        (
+            scene.lines,
+            scene.n_lines,
+            scene.verts2d,
+            scene.verts_mask,
+            scene.mask,
+            scene.labels,
+            scene.uv_proj,
+            scene.support_idx,
+            scene.support_count,
+        ) = _pack_wireframes(
+            wireframes, lines_list, tuple(img_res), distance_threshold,
+            max_verts, encodels_backend,
+        )
+    return scene
+
+
+def load_scannet_scene(
+    data_dir: str,
+    img_res: Tuple[int, int],
+    scan_id: str = "",
+    data_root: str = "../data",
+    **kwargs,
+) -> SceneData:
+    """ScanNet-style scene: per-view pose txt files + a shared intrinsic
+    (reference scene layout of scannet_hawp_dataset.py). Poses are cam2world
+    4x4 text matrices in ``pose/``; intrinsics in ``intrinsic/`` or
+    ``intrinsics.txt``."""
+    instance_dir = osp.join(data_root, data_dir, str(scan_id)) if scan_id else osp.join(data_root, data_dir)
+    image_paths = _glob_imgs(osp.join(instance_dir, "images"))
+    if not image_paths:
+        image_paths = _glob_imgs(osp.join(instance_dir, "color"))
+    poses = []
+    for p in image_paths:
+        stem = osp.splitext(osp.basename(p))[0]
+        pose_path = osp.join(instance_dir, "pose", stem + ".txt")
+        poses.append(np.loadtxt(pose_path).astype(np.float32).reshape(4, 4))
+    intr_path = osp.join(instance_dir, "intrinsic", "intrinsic_color.txt")
+    if not osp.exists(intr_path):
+        intr_path = osp.join(instance_dir, "intrinsics.txt")
+    intr = np.loadtxt(intr_path).astype(np.float32).reshape(4, 4)
+
+    rgbs = []
+    for p in image_paths:
+        img = _load_rgb(p)
+        rgbs.append(img.reshape(-1, 3))
+
+    scene = SceneData(
+        rgb=np.stack(rgbs),
+        intrinsics=np.tile(intr[None], (len(image_paths), 1, 1)),
+        pose=np.stack(poses),
+        img_res=tuple(img_res),
+        scale_mat=np.eye(4, dtype=np.float32),
+        view_ids=np.arange(len(image_paths), dtype=np.int32),
+    )
+    return scene
+
+
+_LOADERS = {
+    "blender": load_blender_scene,
+    "abc": load_blender_scene,
+    "dtu": load_dtu_scene,
+    "scene": load_dtu_scene,
+    "scannet": load_scannet_scene,
+}
+
+
+def load_scene(kind: str, **kwargs) -> SceneData:
+    """Dispatch by convention name ('blender'/'abc', 'dtu'/'scene',
+    'scannet') — the analogue of the reference's class-path-as-config
+    dataset dispatch (utils/general.py:9-15)."""
+    return _LOADERS[kind](**kwargs)

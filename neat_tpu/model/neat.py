@@ -1,0 +1,393 @@
+"""The NEAT model: VolSDF surface + attraction field + global junctions.
+
+One pure function computes the whole per-step forward pass with static
+shapes. Parity target: reference code/model/networks/neat_wfr_rend_a.py
+(VolSDFNetwork.forward, :376-538) plus the model-variant family
+(neat_wfr_rend.py non-detached line weights, neat_wfr_rend_b.py
+view-independent attraction, neat_uni.py uniform sampler, model/network.py
+vanilla VolSDF) expressed as config flags.
+
+Shape/masking conventions (TPU-static redesign):
+  * per-view HAWP junctions are padded to ``max_verts`` with ``verts_mask``;
+  * junction proposals are padded to a static count with a mask (all line
+    endpoints: 2R; +l3d points when use_l3d: 3R);
+  * the per-step Hungarian/DBSCAN run on-device (assignment/ package) —
+    the reference round-trips to scipy/sklearn on CPU mid-step
+    (neat_wfr_rend_a.py:460,473).
+
+Detach boundaries replicate the reference exactly (SURVEY §7.3.3): the
+line integral uses stop_gradient(weights) (rend_a:410), 2D projection for
+the uncalibrated branch uses stop_gradient(lines3d) (rend_a:439), and the
+tangent-plane intersection parameter t is detached (rend_a:453).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.camera import get_camera_params, project2d
+from ..core.density import LaplaceDensityParams, laplace_density
+from ..core.render import render_weights_from_density
+from ..fields.mlp import (
+    ImplicitNetConfig,
+    RenderNetConfig,
+    GlobalJunctionsConfig,
+    init_implicit_net,
+    implicit_sdf,
+    implicit_sdf_feat_grad,
+    implicit_gradient,
+    init_render_net,
+    render_forward,
+    init_attraction_net,
+    attraction_forward,
+    init_global_junctions,
+    global_junctions_forward,
+)
+from ..sampling.samplers import (
+    ErrorBoundSamplerConfig,
+    UniformSamplerConfig,
+    error_bound_z_vals,
+    uniform_z_vals,
+)
+from ..assignment.matching import masked_assignment
+from ..assignment.clustering import dbscan_cluster_means
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class NeatConfig:
+    feature_vector_size: int = 256
+    scene_bounding_sphere: float = 3.0
+    white_bkgd: bool = False
+    bg_color: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+
+    implicit: ImplicitNetConfig = ImplicitNetConfig()
+    rendering: RenderNetConfig = RenderNetConfig(multires_view=4)
+    attraction: RenderNetConfig = RenderNetConfig(d_out=6, multires_view=0)
+    junctions: GlobalJunctionsConfig = GlobalJunctionsConfig()
+    sampler: ErrorBoundSamplerConfig = ErrorBoundSamplerConfig()
+
+    density_beta_init: float = 0.1
+    density_beta_min: float = 1e-4
+
+    # variant flags (reference model files -> flags)
+    model_variant: str = "neat"  # 'neat' | 'volsdf' (no wireframe head)
+    sampler_kind: str = "error_bound"  # 'error_bound' | 'uniform' (neat_uni)
+    detach_line_weights: bool = True  # rend_a: True; rend: False
+    dbscan_enabled: bool = False
+    use_median: bool = True
+    use_l3d: bool = False
+    junction_eikonal: bool = False
+
+    # static padding for per-view HAWP junctions
+    max_verts: int = 512
+    assignment_method: str = "auction"  # 'auction' | 'callback'
+
+    @staticmethod
+    def for_abc() -> "NeatConfig":
+        """Defaults of confs/abc-neat-a.conf."""
+        return NeatConfig(
+            junctions=GlobalJunctionsConfig(num_junctions=64),
+            dbscan_enabled=False,
+            use_l3d=False,
+            use_median=True,
+        )
+
+    @staticmethod
+    def for_dtu() -> "NeatConfig":
+        """Defaults of confs/dtu.conf."""
+        return NeatConfig(
+            scene_bounding_sphere=3.0,
+            implicit=ImplicitNetConfig(bias=0.6, sphere_scale=20.0),
+            junctions=GlobalJunctionsConfig(num_junctions=1024),
+            dbscan_enabled=True,
+            use_median=True,
+        )
+
+
+def init_neat(key, cfg: NeatConfig) -> Params:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    params: Params = {
+        "implicit": init_implicit_net(k1, cfg.implicit),
+        "rendering": init_render_net(k2, cfg.rendering),
+        "density": LaplaceDensityParams.init(cfg.density_beta_init),
+    }
+    if cfg.model_variant == "neat":
+        params["attraction"] = init_attraction_net(k3, cfg.attraction)
+        params["junctions"] = init_global_junctions(k4, cfg.junctions)
+    return params
+
+
+def _sample_z(rng, ray_dirs, cam_loc, params, cfg: NeatConfig, training: bool):
+    if cfg.sampler_kind == "error_bound":
+        sdf_fn = lambda p: implicit_sdf(params["implicit"], p, cfg.implicit)[..., 0]
+        return error_bound_z_vals(
+            rng,
+            ray_dirs,
+            cam_loc,
+            sdf_fn,
+            params["density"],
+            cfg.sampler,
+            training,
+            beta_min=cfg.density_beta_min,
+        )
+    elif cfg.sampler_kind == "uniform":
+        ucfg = UniformSamplerConfig(
+            scene_bounding_sphere=cfg.scene_bounding_sphere,
+            near=cfg.sampler.near,
+            n_samples=cfg.sampler.n_samples,
+        )
+        z = uniform_z_vals(rng, ray_dirs, cam_loc, ucfg, training)
+        eik_idx = jax.random.randint(
+            jax.random.fold_in(rng, 1), (z.shape[0], 1), 0, z.shape[-1]
+        )
+        z_eik = jnp.take_along_axis(z, eik_idx, axis=-1)
+        return jax.lax.stop_gradient(z), jax.lax.stop_gradient(z_eik)
+    raise ValueError(cfg.sampler_kind)
+
+
+def _masked_median(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """torch-style lower median over the masked entries (returns a large
+    default when nothing is valid, mirroring the reference nan fallback of
+    10)."""
+    big = jnp.asarray(1e30, values.dtype)
+    vals = jnp.where(mask, values, big)
+    order = jnp.sort(vals)
+    n_valid = jnp.sum(mask)
+    idx = jnp.maximum((n_valid - 1) // 2, 0)
+    med = order[idx]
+    return jnp.where(n_valid > 0, med, jnp.asarray(10.0, values.dtype))
+
+
+def neat_forward(
+    params: Params,
+    inputs: Dict[str, jnp.ndarray],
+    cfg: NeatConfig,
+    rng,
+    training: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Full NEAT forward pass.
+
+    inputs:
+      uv          (R, 2)   sampled pixel coords (x, y)
+      uv_proj     (R, 2)   attraction projection points for the same pixels
+      intrinsics  (4, 4) or (3, 3)
+      pose        (4, 4)   cam2world
+      verts2d     (V, 2)   HAWP junctions, padded      (training only)
+      verts_mask  (V,)     validity of verts2d         (training only)
+
+    Returns the reference's output dict keys plus `_mask` companions for
+    padded entries.
+    """
+    r_sample, r_eik = jax.random.split(rng)
+    uv = inputs["uv"]
+    pose = inputs["pose"]
+    intrinsics = inputs["intrinsics"]
+    n_rays = uv.shape[0]
+
+    ray_dirs, cam_loc = get_camera_params(uv[None], pose[None], intrinsics[None])
+    ray_dirs = ray_dirs[0]  # (R, 3)
+    cam_loc = jnp.broadcast_to(cam_loc, (n_rays, 3))
+
+    z_vals, z_eik = _sample_z(r_sample, ray_dirs, cam_loc, params, cfg, training)
+    n_samples = z_vals.shape[-1]
+
+    rays_d = z_vals[..., None] * ray_dirs[:, None, :]  # (R, S, 3)
+    depth_ratio = jnp.linalg.norm(rays_d, axis=-1)
+    points = cam_loc[:, None, :] + rays_d
+    points_flat = points.reshape(-1, 3)
+    dirs_flat = jnp.broadcast_to(ray_dirs[:, None, :], points.shape).reshape(-1, 3)
+
+    sdf, feats, grads = implicit_sdf_feat_grad(params["implicit"], points_flat, cfg.implicit)
+    rgb_flat = render_forward(
+        params["rendering"], points_flat, grads, dirs_flat, feats, cfg.rendering
+    )
+    rgb = rgb_flat.reshape(n_rays, n_samples, 3)
+
+    density = laplace_density(
+        sdf.reshape(n_rays, n_samples), params["density"], beta_min=cfg.density_beta_min
+    )
+    weights = render_weights_from_density(z_vals, density)
+
+    rgb_values = jnp.sum(weights[..., None] * rgb, axis=1)
+    if cfg.white_bkgd:
+        acc = jnp.sum(weights, axis=-1)
+        rgb_values = rgb_values + (1.0 - acc[..., None]) * jnp.asarray(cfg.bg_color)
+
+    depth = jnp.sum(weights * depth_ratio, axis=-1)
+    out: Dict[str, jnp.ndarray] = {
+        "rgb_values": rgb_values,
+        "depth": depth,
+        "xyz": jnp.sum(points * weights[..., None], axis=1),
+        "z_vals": z_vals,
+        "weights": weights,
+    }
+
+    if not training:
+        normals = jax.lax.stop_gradient(grads)
+        normals = normals / jnp.linalg.norm(normals, axis=-1, keepdims=True)
+        normals = normals.reshape(n_rays, n_samples, 3)
+        out["normal_map"] = jnp.sum(weights[..., None] * normals, axis=1)
+
+    if cfg.model_variant != "neat":
+        # vanilla VolSDF: eikonal points and done
+        out["sdf"] = jax.lax.stop_gradient(sdf.reshape(n_rays, n_samples))
+        if training:
+            out["grad_theta"] = _eikonal_gradients(
+                params, cfg, r_eik, n_rays, cam_loc, ray_dirs, z_eik, None
+            )
+        return out
+
+    # ----- attraction field ------------------------------------------------
+    lines3d = attraction_forward(
+        params["attraction"], points_flat, grads, dirs_flat, feats, cfg.attraction
+    ).reshape(n_rays, n_samples, 2, 3)
+    w_for_lines = (
+        jax.lax.stop_gradient(weights) if cfg.detach_line_weights else weights
+    )
+    lines3d = jnp.sum(w_for_lines[..., None, None] * lines3d, axis=1)  # (R, 2, 3)
+
+    # surface point and a second field evaluation there
+    points3d = jnp.sum(weights[..., None] * points, axis=1)  # (R, 3)
+    points3d_sdf, _, points_gradients = implicit_sdf_feat_grad(
+        params["implicit"], points3d, cfg.implicit
+    )
+
+    w2c = jnp.linalg.inv(pose)
+    rot = w2c[:3, :3]
+    trans = w2c[:3, 3]
+    k3 = intrinsics[:3, :3]
+    eye3 = jnp.eye(3, dtype=k3.dtype)
+
+    lines2d = project2d(k3, rot, trans, jax.lax.stop_gradient(lines3d))
+    lines2d_calib = project2d(eye3, rot, trans, lines3d)
+
+    # tangent-plane intersection of the attraction-support ray (rend_a:444-454)
+    line_ray_d, line_ray_o = get_camera_params(
+        inputs["uv_proj"][None], pose[None], intrinsics[None]
+    )
+    line_ray_d = line_ray_d.reshape(-1, 3)
+    line_ray_o = jnp.broadcast_to(line_ray_o, (n_rays, 3))
+    denominator = jnp.sum(line_ray_d * points_gradients, axis=-1)
+    denom_eps = jnp.where(denominator >= 0, 1e-6, -1e-6)
+    t = jnp.sum((points3d - line_ray_o) * points_gradients, axis=-1) / (
+        denominator + denom_eps
+    )
+    t = jax.lax.stop_gradient(t)
+    l3d = line_ray_o + line_ray_d * t[:, None]
+
+    e1, e2 = lines3d[:, 0], lines3d[:, 1]
+    l3d_score = jax.lax.stop_gradient(
+        jnp.linalg.norm(jnp.cross(l3d - e1, l3d - e2), axis=-1)
+        / jnp.linalg.norm(e1 - e2, axis=-1)
+    )
+
+    out.update(
+        {
+            "l3d": l3d,
+            "l3d_score": l3d_score,
+            "points3d": points3d,
+            "lines3d": lines3d,
+            "lines2d": lines2d,
+            "lines2d_calib": lines2d_calib,
+            "sdf": points3d_sdf.flatten(),
+            "K": k3,
+        }
+    )
+
+    junctions3d_global = global_junctions_forward(params["junctions"], cfg.junctions)
+
+    if training:
+        # ----- junction proposals (padded) --------------------------------
+        endpoints = jax.lax.stop_gradient(lines3d).reshape(-1, 3)  # (2R, 3)
+        if cfg.dbscan_enabled:
+            proposals, prop_mask = dbscan_cluster_means(
+                endpoints, eps=0.01, min_samples=2
+            )
+        elif cfg.use_l3d:
+            med = jnp.maximum(_masked_median(l3d_score, jnp.ones_like(l3d_score, bool)), 0.01)
+            sel = l3d_score < med  # (R,)
+            ep_mask = jnp.repeat(sel, 2)
+            proposals = jnp.concatenate([endpoints, l3d], axis=0)  # (3R, 3)
+            prop_mask = jnp.concatenate([ep_mask, sel], axis=0)
+        else:
+            proposals = endpoints
+            prop_mask = jnp.ones((endpoints.shape[0],), dtype=bool)
+
+        junctions2d = project2d(k3, rot, trans, proposals)
+        junctions2d_calib = project2d(eye3, rot, trans, proposals)
+
+        verts2d = inputs["verts2d"]
+        verts_mask = inputs["verts_mask"]
+        jcost = jnp.sqrt(
+            jnp.sum((junctions2d[None] - verts2d[:, None]) ** 2, axis=-1) + 1e-12
+        )  # (V, P)
+        col_idx, assign_valid = masked_assignment(
+            jcost, verts_mask, prop_mask, method=cfg.assignment_method
+        )
+        assigned_cost = jnp.take_along_axis(
+            jcost, col_idx[:, None], axis=1
+        )[:, 0]  # (V,)
+
+        if cfg.use_median:
+            median = _masked_median(
+                jax.lax.stop_gradient(assigned_cost), assign_valid
+            )
+            is_correct = assigned_cost < median
+            out["median"] = median
+        else:
+            is_correct = assigned_cost < 10.0
+        keep = assign_valid & is_correct  # (V,)
+
+        out["j3d_local"] = proposals[col_idx]  # (V, 3)
+        out["j2d_local"] = junctions2d[col_idx]
+        out["j2d_local_calib"] = junctions2d_calib[col_idx]
+        out["j_local_mask"] = keep
+        out["j3d_global"] = junctions3d_global
+        out["j2d_global"] = project2d(k3, rot, trans, junctions3d_global)
+        out["j2d_global_calib"] = project2d(eye3, rot, trans, junctions3d_global)
+
+        # ----- eikonal sample points --------------------------------------
+        out["grad_theta"] = _eikonal_gradients(
+            params,
+            cfg,
+            r_eik,
+            n_rays,
+            cam_loc,
+            ray_dirs,
+            z_eik,
+            jax.lax.stop_gradient(junctions3d_global) if cfg.junction_eikonal else None,
+        )
+
+    return out
+
+
+def _eikonal_gradients(
+    params, cfg: NeatConfig, rng, n_rays, cam_loc, ray_dirs, z_eik, extra_points
+):
+    """Raw SDF gradients at uniform + near-surface (+ optional junction)
+    points (reference neat_wfr_rend_a.py:515-527)."""
+    bs = cfg.scene_bounding_sphere
+    eik_uniform = jax.random.uniform(
+        rng, (n_rays, 3), minval=-bs, maxval=bs, dtype=cam_loc.dtype
+    )
+    eik_near = (cam_loc[:, None, :] + z_eik[..., None] * ray_dirs[:, None, :]).reshape(
+        -1, 3
+    )
+    pts = jnp.concatenate([eik_uniform, eik_near], axis=0)
+    if extra_points is not None:
+        pts = jnp.concatenate([pts, extra_points], axis=0)
+    return implicit_gradient(params["implicit"], pts, cfg.implicit)
+
+
+def render_rgb(
+    params: Params, inputs: Dict[str, jnp.ndarray], cfg: NeatConfig, rng
+) -> jnp.ndarray:
+    """Eval-mode RGB-only rendering (reference render_rgb, rend_a:344-375)."""
+    out = neat_forward(params, inputs, cfg, rng, training=False)
+    return out["rgb_values"]

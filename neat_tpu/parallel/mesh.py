@@ -1,0 +1,57 @@
+"""Device mesh and sharding utilities.
+
+The scaling axis of this workload is rays x samples-per-ray (SURVEY.md
+§2.3): the ray batch shards embarrassingly over a 1-D 'data' mesh axis via
+GSPMD sharding constraints, parameters stay replicated, and XLA inserts the
+psum for gradient reduction over ICI. Multi-host runs initialize
+jax.distributed before building the mesh (DCN handled by JAX).
+
+There is no sequence/pipeline/expert axis in this model family — a single
+'data' axis saturates ICI for the reference's workload. The mesh helpers
+still accept an (dp,) shape tuple so larger topologies can subdivide later.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def ray_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (ray) axis across the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_scene(scene: Dict, mesh: Mesh) -> Dict:
+    """Place packed scene arrays on the mesh.
+
+    Per-pixel tables (views x pixels x ...) are sharded over the pixel axis
+    so the HBM footprint divides across chips; small per-view tables are
+    replicated. Device-side gathers during batch sampling then produce
+    ray-sharded batches directly.
+    """
+    import jax.numpy as jnp
+
+    out = {}
+    for k, v in scene.items():
+        arr = jnp.asarray(v)
+        if arr.ndim >= 2 and k in ("rgb", "labels", "uv_proj", "mask"):
+            spec = P(None, "data")
+        else:
+            spec = P()
+        out[k] = jax.device_put(arr, NamedSharding(mesh, spec))
+    return out

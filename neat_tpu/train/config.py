@@ -1,0 +1,370 @@
+"""Config system: HOCON-compatible parsing + conf -> dataclass translation.
+
+The reference drives everything from HOCON files with a
+class-path-as-config dispatch (reference code/confs/*.conf parsed via
+pyhocon in volsdf_train.py:70; utils/general.py:9-15). This module parses
+the same conf dialect (this image has no pyhocon) and translates the
+reference's class paths and block names into neat_tpu config dataclasses,
+so reference conf files work unmodified.
+
+Supported dialect (everything the reference confs use):
+  nested blocks ``name { ... }`` (brace may follow on the next line),
+  ``key = value``, comments (# and //), lists, numbers, booleans,
+  bare/quoted strings.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+from ..fields.mlp import (
+    ImplicitNetConfig,
+    RenderNetConfig,
+    GlobalJunctionsConfig,
+)
+from ..sampling.samplers import ErrorBoundSamplerConfig
+from ..model.neat import NeatConfig
+from ..model.loss import LossConfig
+
+
+# ---------------------------------------------------------------------------
+# HOCON subset parser
+# ---------------------------------------------------------------------------
+
+
+def _strip_comment(line: str) -> str:
+    out = []
+    in_str = False
+    i = 0
+    while i < len(line):
+        c = line[i]
+        if c == '"':
+            in_str = not in_str
+        if not in_str:
+            if c == "#" or line[i : i + 2] == "//":
+                break
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _parse_value(tok: str) -> Any:
+    tok = tok.strip()
+    if tok.startswith("[") and tok.endswith("]"):
+        inner = tok[1:-1].strip()
+        if not inner:
+            return []
+        return [_parse_value(t) for t in inner.split(",")]
+    if tok.startswith('"') and tok.endswith('"'):
+        return tok[1:-1]
+    low = tok.lower()
+    if low in ("true", "yes"):
+        return True
+    if low in ("false", "no"):
+        return False
+    try:
+        if re.fullmatch(r"[+-]?\d+", tok):
+            return int(tok)
+        return float(tok)
+    except ValueError:
+        return tok
+
+
+def parse_hocon(text: str) -> Dict[str, Any]:
+    """Parse the conf dialect into nested dicts."""
+    root: Dict[str, Any] = {}
+    stack: List[Dict[str, Any]] = [root]
+    pending_key: Optional[str] = None
+
+    lines = text.splitlines()
+    for raw in lines:
+        line = _strip_comment(raw).strip()
+        if not line:
+            continue
+        while line:
+            if pending_key is not None:
+                if line.startswith("{"):
+                    new: Dict[str, Any] = {}
+                    stack[-1][pending_key] = new
+                    stack.append(new)
+                    pending_key = None
+                    line = line[1:].strip()
+                    continue
+                else:
+                    # bare key on its own line followed by { later
+                    break
+            m = re.match(r"^([A-Za-z0-9_.\-]+)\s*\{", line)
+            if m:
+                new = {}
+                stack[-1][m.group(1)] = new
+                stack.append(new)
+                line = line[m.end():].strip()
+                continue
+            if line.startswith("}"):
+                if len(stack) > 1:
+                    stack.pop()
+                line = line[1:].strip()
+                continue
+            # value stops at an unquoted '}' so inline blocks parse:
+            # params_init { beta = 0.1 }
+            m = re.match(r"^([A-Za-z0-9_.\-]+)\s*[=:]\s*([^}]*)", line)
+            if m:
+                stack[-1][m.group(1)] = _parse_value(m.group(2))
+                line = line[m.end():].strip()
+                continue
+            m = re.match(r"^([A-Za-z0-9_.\-]+)\s*$", line)
+            if m:
+                # block header whose '{' is on the next line
+                pending_key = m.group(1)
+                line = ""
+                continue
+            raise ValueError(f"cannot parse conf line: {raw!r}")
+    return root
+
+
+def get_path(conf: Dict[str, Any], path: str, default=None):
+    cur: Any = conf
+    for part in path.split("."):
+        if not isinstance(cur, dict) or part not in cur:
+            return default
+        cur = cur[part]
+    return cur
+
+
+def put_path(conf: Dict[str, Any], path: str, value) -> None:
+    parts = path.split(".")
+    cur = conf
+    for p in parts[:-1]:
+        cur = cur.setdefault(p, {})
+    cur[parts[-1]] = value
+
+
+def dump_hocon(conf: Dict[str, Any], indent: int = 0) -> str:
+    """Serialize back to the conf dialect (runconf.conf snapshots)."""
+    pad = "    " * indent
+    out = []
+    for k, v in conf.items():
+        if isinstance(v, dict):
+            out.append(f"{pad}{k}{{")
+            out.append(dump_hocon(v, indent + 1))
+            out.append(f"{pad}}}")
+        elif isinstance(v, list):
+            out.append(f"{pad}{k} = [{', '.join(str(x) for x in v)}]")
+        elif isinstance(v, bool):
+            out.append(f"{pad}{k} = {'True' if v else 'False'}")
+        elif isinstance(v, str):
+            out.append(f"{pad}{k} = {v}")
+        else:
+            out.append(f"{pad}{k} = {v}")
+    return "\n".join(out)
+
+
+# ---------------------------------------------------------------------------
+# reference class-path translation
+# ---------------------------------------------------------------------------
+
+# dataset_class -> (loader kind, needs scan_id)
+_DATASET_CLASS_MAP = {
+    "datasets.blender_hawp_dataset.BlenderDataset": "blender",
+    "datasets.scene_hawp_dataset.SceneDataset": "dtu",
+    "datasets.blender_dataset.BlenderDataset": "blender_plain",
+    "datasets.scene_dataset.SceneDataset": "dtu_plain",
+    "datasets.scannet_hawp_dataset.ScanNetDataset": "scannet",
+    "datasets.scene_line_dataset.SceneDataset": "dtu",
+    "datasets.scene_line_depth_dataset.SceneDataset": "dtu",
+}
+
+# model_class -> variant flag overrides
+_MODEL_CLASS_MAP: Dict[str, Dict[str, Any]] = {
+    "model.networks.neat_wfr_rend_a.VolSDFNetwork": {},
+    "model.networks.neat_wfr_rend.VolSDFNetwork": {"detach_line_weights": False},
+    "model.networks.neat_uni.VolSDFNetwork": {"sampler_kind": "uniform"},
+    "model.network.VolSDFNetwork": {"model_variant": "volsdf"},
+}
+
+_LOSS_CLASS_MAP: Dict[str, Dict[str, Any]] = {
+    "model.networks.loss_wfr.VolSDFLoss": {},
+    "model.networks.loss_wfr_a.VolSDFLoss": {"calibrated_branch": False},
+    "model.networks.loss_wfr_spd.VolSDFLoss": {"depth_weight": 0.1},
+    "model.loss.VolSDFLoss": {"line_weight": 0.0},
+}
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    expname: str
+    model: NeatConfig
+    loss: LossConfig
+    # training
+    learning_rate: float = 5e-4
+    sched_decay_rate: float = 0.1
+    num_pixels: int = 1024
+    checkpoint_freq: int = 100
+    plot_freq: int = 100
+    split_n_pixels: int = 1024
+    nepochs: int = 2000
+    # dataset
+    dataset_kind: str = "blender"
+    data_dir: str = ""
+    img_res: Tuple[int, int] = (512, 512)
+    scan_id: int = -1
+    distance_threshold: float = 10.0
+    # plot block
+    plot_nimgs: int = 1
+    plot_resolution: int = 100
+    grid_boundary: Tuple[float, float] = (-1.5, 1.5)
+    # raw parsed conf for snapshots
+    raw: Optional[Dict[str, Any]] = None
+
+
+def _seq(v, default):
+    if v is None:
+        return default
+    return tuple(v)
+
+
+def build_experiment_config(
+    conf: Dict[str, Any],
+    scan_id: int = -1,
+    nepochs: Optional[int] = None,
+    max_verts: int = 512,
+    assignment_method: str = "auction",
+) -> ExperimentConfig:
+    """Translate a parsed reference conf into dataclass configs."""
+    m = conf.get("model", {})
+    white_bkgd = bool(m.get("white_bkgd", False))
+    scene_r = float(m.get("scene_bounding_sphere", 1.0))
+
+    imp = m.get("implicit_network", {})
+    implicit = ImplicitNetConfig(
+        feature_vector_size=int(m.get("feature_vector_size", 256)),
+        sdf_bounding_sphere=0.0 if white_bkgd else scene_r,
+        d_in=int(imp.get("d_in", 3)),
+        d_out=int(imp.get("d_out", 1)),
+        dims=_seq(imp.get("dims"), (256,) * 8),
+        geometric_init=bool(imp.get("geometric_init", True)),
+        bias=float(imp.get("bias", 1.0)),
+        skip_in=_seq(imp.get("skip_in"), ()),
+        weight_norm=bool(imp.get("weight_norm", True)),
+        multires=int(imp.get("multires", 0)),
+        sphere_scale=float(imp.get("sphere_scale", 1.0)),
+        inside_out=bool(imp.get("inside_out", False)),
+    )
+    ren = m.get("rendering_network", {})
+    rendering = RenderNetConfig(
+        feature_vector_size=int(m.get("feature_vector_size", 256)),
+        mode=ren.get("mode", "idr"),
+        d_in=int(ren.get("d_in", 9)),
+        d_out=int(ren.get("d_out", 3)),
+        dims=_seq(ren.get("dims"), (256,) * 4),
+        weight_norm=bool(ren.get("weight_norm", True)),
+        multires_view=int(ren.get("multires_view", 0)),
+    )
+    att = m.get("attraction_network", {})
+    attraction = RenderNetConfig(
+        feature_vector_size=int(m.get("feature_vector_size", 256)),
+        mode=att.get("mode", "idr"),
+        d_in=int(att.get("d_in", 9)),
+        d_out=int(att.get("d_out", 6)),
+        dims=_seq(att.get("dims"), (256,) * 4),
+        weight_norm=bool(att.get("weight_norm", True)),
+        multires_view=int(att.get("multires_view", 0)),
+    )
+    jun = m.get("global_junctions", {})
+    junctions = GlobalJunctionsConfig(
+        num_junctions=int(jun.get("num_junctions", 1024)),
+        num_layers=int(jun.get("num_layers", 2)),
+        dim_hidden=int(jun.get("dim_hidden", 256)),
+        dim_out=int(jun.get("dim_out", 3)),
+    )
+    rs = m.get("ray_sampler", {})
+    sampler = ErrorBoundSamplerConfig(
+        scene_bounding_sphere=scene_r,
+        near=float(rs.get("near", 0.0)),
+        n_samples=int(rs.get("N_samples", 64)),
+        n_samples_eval=int(rs.get("N_samples_eval", 128)),
+        n_samples_extra=int(rs.get("N_samples_extra", 32)),
+        eps=float(rs.get("eps", 0.1)),
+        beta_iters=int(rs.get("beta_iters", 10)),
+        max_total_iters=int(rs.get("max_total_iters", 5)),
+        add_tiny=float(rs.get("add_tiny", 0.0)),
+    )
+    den = m.get("density", {})
+    beta_init = float(den.get("params_init", {}).get("beta", 0.1))
+    beta_min = float(den.get("beta_min", 1e-4))
+
+    model_class = get_path(conf, "train.model_class", "")
+    variant_overrides = _MODEL_CLASS_MAP.get(model_class, {})
+
+    model = NeatConfig(
+        feature_vector_size=int(m.get("feature_vector_size", 256)),
+        scene_bounding_sphere=scene_r,
+        white_bkgd=white_bkgd,
+        bg_color=_seq(m.get("bg_color"), (1.0, 1.0, 1.0)),
+        implicit=implicit,
+        rendering=rendering,
+        attraction=attraction,
+        junctions=junctions,
+        sampler=sampler,
+        density_beta_init=beta_init,
+        density_beta_min=beta_min,
+        dbscan_enabled=bool(m.get("dbscan_enabled", True)),
+        use_median=bool(m.get("use_median", False)),
+        use_l3d=bool(m.get("use_l3d", False)),
+        junction_eikonal=bool(m.get("junction_eikonal", False)),
+        max_verts=max_verts,
+        assignment_method=assignment_method,
+        **variant_overrides,
+    )
+
+    loss_class = get_path(conf, "train.loss_class", "")
+    loss_overrides = _LOSS_CLASS_MAP.get(loss_class, {})
+    lc = conf.get("loss", {})
+    rgb_loss_name = lc.get("rgb_loss", "torch.nn.L1Loss")
+    loss = dataclasses.replace(
+        LossConfig(
+            rgb_loss="l1" if "L1" in str(rgb_loss_name) else "mse",
+            eikonal_weight=float(lc.get("eikonal_weight", 0.1)),
+            line_weight=float(lc.get("line_weight", 0.01)),
+            junction_3d_weight=float(lc.get("junction_3d_weight", 0.1)),
+            junction_2d_weight=float(lc.get("junction_2d_weight", 0.01)),
+            assignment_method=assignment_method,
+        ),
+        **loss_overrides,
+    )
+
+    ds = conf.get("dataset", {})
+    dataset_class = get_path(conf, "train.dataset_class", "")
+    dataset_kind = _DATASET_CLASS_MAP.get(dataset_class, "blender")
+    eff_scan = scan_id if scan_id != -1 else int(ds.get("scan_id", -1))
+
+    pl = conf.get("plot", {})
+    return ExperimentConfig(
+        expname=get_path(conf, "train.expname", "exp"),
+        model=model,
+        loss=loss,
+        learning_rate=float(get_path(conf, "train.learning_rate", 5e-4)),
+        sched_decay_rate=float(get_path(conf, "train.sched_decay_rate", 0.1)),
+        num_pixels=int(get_path(conf, "train.num_pixels", 1024)),
+        checkpoint_freq=int(get_path(conf, "train.checkpoint_freq", 100)),
+        plot_freq=int(get_path(conf, "train.plot_freq", 100)),
+        split_n_pixels=int(get_path(conf, "train.split_n_pixels", 10000)),
+        nepochs=nepochs if nepochs is not None else 2000,
+        dataset_kind=dataset_kind,
+        data_dir=ds.get("data_dir", ""),
+        img_res=_seq(ds.get("img_res"), (512, 512)),
+        scan_id=eff_scan,
+        distance_threshold=float(ds.get("distance_threshold", 10.0)),
+        plot_nimgs=int(pl.get("plot_nimgs", 1)),
+        plot_resolution=int(pl.get("resolution", 100)),
+        grid_boundary=_seq(pl.get("grid_boundary"), (-1.5, 1.5)),
+        raw=conf,
+    )
+
+
+def load_experiment_config(path: str, **kwargs) -> ExperimentConfig:
+    with open(path) as f:
+        conf = parse_hocon(f.read())
+    return build_experiment_config(conf, **kwargs)

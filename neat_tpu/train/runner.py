@@ -1,0 +1,315 @@
+"""Experiment runtime: directories, config snapshots, the epoch loop,
+logging, checkpoints, junction snapshots.
+
+Reference counterpart: VolSDFTrainRunner (reference code/training/
+volsdf_train.py:65-411) and the exp_runner CLI (code/training/
+exp_runner.py). Same experiment-directory contract:
+
+    <exps_folder>/<expname>[/<scan_id>]/<timestamp>/
+        runconf.conf            frozen config snapshot
+        train.log               step/epoch log
+        checkpoints/            full-state snapshots (see checkpoint.py)
+        junctions/{epoch}.npy   decoded global-junction point clouds
+        plots/                  rendered previews / camera figures
+
+TPU redesign of the loop: an epoch (= n_views steps of 1024 rays, matching
+the reference's one-view-per-step DataLoader) is a single jitted lax.scan,
+so the host syncs once per epoch instead of once per step. The BlendedMVS
+200k-iteration rule (volsdf_train.py:152-153) is preserved.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import os
+import os.path as osp
+import sys
+import time
+from datetime import datetime
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ExperimentConfig, load_experiment_config, dump_hocon
+from .step import TrainState, init_train_state, make_train_step
+from .checkpoint import save_checkpoint, load_checkpoint
+from ..data.datasets import load_scene, SceneData
+from ..model.neat import init_neat
+from ..fields.mlp import global_junctions_forward
+
+
+def scene_to_device(scene: SceneData, sharding=None) -> Dict[str, jnp.ndarray]:
+    arrays = {
+        "rgb": scene.rgb,
+        "intrinsics": scene.intrinsics,
+        "pose": scene.pose,
+        "mask": scene.mask,
+        "labels": scene.labels,
+        "uv_proj": scene.uv_proj,
+        "lines": scene.lines,
+        "verts2d": scene.verts2d,
+        "verts_mask": scene.verts_mask,
+        "support_idx": scene.support_idx,
+        "support_count": scene.support_count,
+    }
+    arrays = {k: v for k, v in arrays.items() if v is not None}
+    if sharding is not None:
+        from ..parallel.mesh import shard_scene
+
+        return shard_scene(arrays, sharding)
+    return {k: jax.device_put(jnp.asarray(v)) for k, v in arrays.items()}
+
+
+class TrainRunner:
+    def __init__(
+        self,
+        conf: str,
+        data_root: str = "../data",
+        exps_folder: str = "../exps",
+        expname_suffix: str = "",
+        scan_id: int = -1,
+        nepochs: int = 2000,
+        batch_rays: Optional[int] = None,
+        is_continue: bool = False,
+        timestamp: str = "latest",
+        checkpoint: str = "latest",
+        max_verts: int = 512,
+        assignment_method: str = "auction",
+        seed: int = 42,
+        log_every_epochs: int = 1,
+    ):
+        self.cfg = load_experiment_config(
+            conf,
+            scan_id=scan_id,
+            nepochs=nepochs,
+            max_verts=max_verts,
+            assignment_method=assignment_method,
+        )
+        self.expname = self.cfg.expname + expname_suffix
+        if self.cfg.scan_id != -1:
+            self.expname = f"{self.expname}/{self.cfg.scan_id}"
+        self.data_root = data_root
+        self.seed = seed
+        self.log_every_epochs = log_every_epochs
+
+        # ----- experiment directories (reference volsdf_train.py:99-127)
+        self.expdir = osp.join(exps_folder, self.expname)
+        os.makedirs(self.expdir, exist_ok=True)
+        old_timestamp = None
+        if is_continue and timestamp == "latest":
+            stamps = sorted(
+                d for d in os.listdir(self.expdir)
+                if osp.isdir(osp.join(self.expdir, d))
+            )
+            old_timestamp = stamps[-1] if stamps else None
+            is_continue = old_timestamp is not None
+        elif is_continue:
+            old_timestamp = timestamp
+
+        self.timestamp = "{:%Y_%m_%d_%H_%M_%S}".format(datetime.now())
+        self.rundir = osp.join(self.expdir, self.timestamp)
+        self.ckpt_dir = osp.join(self.rundir, "checkpoints")
+        self.junctions_dir = osp.join(self.rundir, "junctions")
+        self.plots_dir = osp.join(self.rundir, "plots")
+        for d in (self.rundir, self.ckpt_dir, self.junctions_dir, self.plots_dir):
+            os.makedirs(d, exist_ok=True)
+
+        if self.cfg.raw is not None:
+            with open(osp.join(self.rundir, "runconf.conf"), "w") as f:
+                f.write(dump_hocon(self.cfg.raw))
+
+        self.logger = self._make_logger()
+
+        # ----- data
+        self.logger.info("Loading data ...")
+        self.scene = self._load_scene()
+        self.n_views = self.scene.n_images
+        self.logger.info(f"Data-set size: {self.n_views}")
+
+        # BlendedMVS fixed-iteration rule (volsdf_train.py:152-153)
+        if self.cfg.data_dir == "BlendedMVS":
+            self.cfg = dataclasses.replace(
+                self.cfg, nepochs=int(200000 / self.n_views)
+            )
+
+        self.n_rays = batch_rays or self.cfg.num_pixels
+        self.decay_steps = self.cfg.nepochs * self.n_views
+
+        # ----- model/optimizer state
+        params = init_neat(jax.random.PRNGKey(seed), self.cfg.model)
+        self.state = init_train_state(
+            params,
+            self.cfg.learning_rate,
+            self.cfg.sched_decay_rate,
+            self.decay_steps,
+        )
+        self.start_epoch = 0
+        if is_continue and old_timestamp is not None:
+            old_ckpt = osp.join(self.expdir, old_timestamp, "checkpoints")
+            self.state, self.start_epoch = load_checkpoint(old_ckpt, checkpoint)
+            self.logger.info(
+                f"Resumed epoch {self.start_epoch} from {old_ckpt} "
+                "(params + optimizer + schedule restored exactly)"
+            )
+
+        self.scene_dev = scene_to_device(self.scene)
+        self.step_fn = make_train_step(
+            self.cfg.model,
+            self.cfg.loss,
+            self.cfg.learning_rate,
+            self.cfg.sched_decay_rate,
+            self.decay_steps,
+            self.n_rays,
+            self.scene.img_res[1],
+        )
+        self._epoch_fn = None
+
+    # ------------------------------------------------------------------
+    def _load_scene(self) -> SceneData:
+        kind = self.cfg.dataset_kind
+        kwargs = dict(
+            data_dir=self.cfg.data_dir,
+            img_res=self.cfg.img_res,
+            data_root=self.data_root,
+            distance_threshold=self.cfg.distance_threshold,
+            max_verts=self.cfg.model.max_verts,
+        )
+        if kind in ("dtu", "scene"):
+            kwargs["scan_id"] = self.cfg.scan_id
+            return load_scene("dtu", **kwargs)
+        if kind == "scannet":
+            return load_scene(
+                "scannet",
+                data_dir=self.cfg.data_dir,
+                img_res=self.cfg.img_res,
+                data_root=self.data_root,
+            )
+        if kind == "blender_plain":
+            kwargs["with_wireframes"] = False
+            return load_scene("blender", **kwargs)
+        if kind == "dtu_plain":
+            kwargs["with_wireframes"] = False
+            kwargs["scan_id"] = self.cfg.scan_id
+            return load_scene("dtu", **kwargs)
+        return load_scene("blender", **kwargs)
+
+    def _make_logger(self):
+        logger = logging.getLogger(f"train.{self.timestamp}")
+        logger.setLevel(logging.DEBUG)
+        logger.handlers.clear()
+        fmt = logging.Formatter("%(asctime)s %(name)s %(levelname)s: %(message)s")
+        ch = logging.StreamHandler(stream=sys.stdout)
+        ch.setFormatter(fmt)
+        logger.addHandler(ch)
+        fh = logging.FileHandler(osp.join(self.rundir, "train.log"))
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
+        return logger
+
+    # ------------------------------------------------------------------
+    def epoch_fn(self):
+        """One epoch (= n_views steps) as a single jitted lax.scan."""
+        if self._epoch_fn is not None:
+            return self._epoch_fn
+
+        from .step import make_train_step as _mts
+
+        inner = _mts(
+            self.cfg.model,
+            self.cfg.loss,
+            self.cfg.learning_rate,
+            self.cfg.sched_decay_rate,
+            self.decay_steps,
+            self.n_rays,
+            self.scene.img_res[1],
+            donate=False,
+        )
+
+        def run_epoch(state, scene, rngs):
+            return jax.lax.scan(lambda s, r: inner(s, scene, r), state, rngs)
+
+        self._epoch_fn = jax.jit(run_epoch, donate_argnums=(0,))
+        return self._epoch_fn
+
+    def save(self, epoch: int) -> None:
+        save_checkpoint(self.ckpt_dir, self.state, epoch)
+
+    def dump_junctions(self, epoch: int) -> None:
+        if "junctions" not in self.state.params:
+            return
+        pts = global_junctions_forward(
+            self.state.params["junctions"], self.cfg.model.junctions
+        )
+        np.save(
+            osp.join(self.junctions_dir, f"{epoch}.npy"), np.asarray(pts)
+        )
+
+    def run(self) -> None:
+        self.logger.info("training...")
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(self.seed)
+        t0 = time.time()
+        for epoch in range(self.start_epoch, cfg.nepochs + 1):
+            if epoch % cfg.checkpoint_freq == 0:
+                self.save(epoch)
+                self.dump_junctions(epoch)
+
+            rng, sub = jax.random.split(rng)
+            epoch_rngs = jax.random.split(sub, self.n_views)
+            self.state, aux = self.epoch_fn()(self.state, self.scene_dev, epoch_rngs)
+
+            if epoch % self.log_every_epochs == 0:
+                means = {k: float(np.mean(np.asarray(v))) for k, v in aux.items()}
+                msg = " ".join(f"{k} = {v:.4f}" for k, v in sorted(means.items()))
+                rays_s = self.n_views * self.n_rays / max(time.time() - t0, 1e-9)
+                self.logger.info(
+                    f"{self.expname} [{epoch}/{cfg.nepochs}]: {msg} "
+                    f"({rays_s:,.0f} rays/s)"
+                )
+            t0 = time.time()
+
+        self.save(cfg.nepochs)
+        self.dump_junctions(cfg.nepochs)
+        self.logger.info(f"Training finished after {cfg.nepochs} epochs")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="neat_tpu trainer (reference exp_runner.py parity CLI)"
+    )
+    parser.add_argument("--conf", type=str, required=True)
+    parser.add_argument("--batch_size", type=int, default=1, help="views per step (reference semantics; kept at 1)")
+    parser.add_argument("--nepoch", type=int, default=2000)
+    parser.add_argument("--expname", type=str, default="")
+    parser.add_argument("--scan_id", type=int, default=-1)
+    parser.add_argument("--exps_folder", type=str, default="../exps")
+    parser.add_argument("--data_root", type=str, default="../data")
+    parser.add_argument("--is_continue", default=False, action="store_true")
+    parser.add_argument("--timestamp", default="latest", type=str)
+    parser.add_argument("--checkpoint", default="latest", type=str)
+    parser.add_argument("--assignment", default="auction", choices=["auction", "callback"])
+    parser.add_argument("--seed", type=int, default=42)
+    args = parser.parse_args(argv)
+
+    runner = TrainRunner(
+        conf=args.conf,
+        data_root=args.data_root,
+        exps_folder=args.exps_folder,
+        expname_suffix=args.expname,
+        scan_id=args.scan_id,
+        nepochs=args.nepoch,
+        is_continue=args.is_continue,
+        timestamp=args.timestamp,
+        checkpoint=args.checkpoint,
+        assignment_method=args.assignment,
+        seed=args.seed,
+    )
+    runner.run()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,175 @@
+"""The jitted training step: device-side ray sampling -> forward -> loss ->
+psum'd grads -> Adam update, all in one XLA program.
+
+Reference counterpart: the per-iteration body of VolSDFTrainRunner.run
+(reference code/training/volsdf_train.py:361-408) — there, every step does a
+host-side DataLoader fetch, H2D copies, two CPU scipy round-trips, a torch
+backward, and a scheduler step. Here the packed scene lives in HBM and the
+step is a single compiled function; the optimizer is Adam with the same
+per-iteration exponential LR decay (lr0 * decay_rate^(step/decay_steps),
+volsdf_train.py:177-182,408).
+
+Multi-chip: the ray batch is sharded over the mesh's 'data' axis with
+sharding constraints; parameters stay replicated. Gradient reduction is
+inserted by GSPMD. See parallel/mesh.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..model.neat import NeatConfig, neat_forward
+from ..model.loss import LossConfig, neat_loss
+from ..core.camera import psnr as psnr_fn
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # scalar int32
+
+    def tree_flatten(self):
+        return (self.params, self.opt_state, self.step), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    TrainState, TrainState.tree_flatten, TrainState.tree_unflatten
+)
+
+
+def make_lr_schedule(lr: float, decay_rate: float, decay_steps: int):
+    """lr0 * decay_rate ** (step / decay_steps), stepped every iteration
+    (the reference's ExponentialLR(gamma=decay_rate**(1/decay_steps)))."""
+    return optax.exponential_decay(
+        init_value=lr,
+        transition_steps=max(decay_steps, 1),
+        decay_rate=decay_rate,
+        staircase=False,
+    )
+
+
+def make_optimizer(lr: float, decay_rate: float, decay_steps: int):
+    return optax.adam(
+        learning_rate=make_lr_schedule(lr, decay_rate, decay_steps),
+        b1=0.9,
+        b2=0.999,
+        eps=1e-8,
+    )
+
+
+def init_train_state(params, lr: float, decay_rate: float, decay_steps: int) -> TrainState:
+    opt = make_optimizer(lr, decay_rate, decay_steps)
+    return TrainState(
+        params=params,
+        opt_state=opt.init(params),
+        step=jnp.asarray(0, dtype=jnp.int32),
+    )
+
+
+def sample_batch(
+    rng,
+    scene: Dict[str, jnp.ndarray],
+    n_rays: int,
+    img_width: int,
+) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+    """Draw one view and ``n_rays`` support pixels on device.
+
+    scene arrays (device-resident):
+      rgb (V, HW, 3), mask (V, HW), labels (V, HW), uv_proj (V, HW, 2),
+      lines (V, L, 5), verts2d (V, Vm, 2), verts_mask (V, Vm),
+      intrinsics (V, 4, 4), pose (V, 4, 4),
+      support_idx (V, S), support_count (V,)
+
+    Mirrors the reference sampling: one random view per step (DataLoader
+    shuffle, batch 1) and uniform-with-replacement pixels from the support
+    mask (blender_hawp_dataset.py:186-198).
+    """
+    r_view, r_pix = jax.random.split(rng)
+    n_views = scene["rgb"].shape[0]
+    v = jax.random.randint(r_view, (), 0, n_views)
+
+    count = scene["support_count"][v]
+    draw = jax.random.randint(r_pix, (n_rays,), 0, count)
+    pix = scene["support_idx"][v, draw]  # (R,) flat pixel ids
+
+    x = (pix % img_width).astype(jnp.float32)
+    y = (pix // img_width).astype(jnp.float32)
+    uv = jnp.stack([x, y], axis=-1)
+
+    labels = scene["labels"][v, pix]  # (R,)
+    inputs = {
+        "uv": uv,
+        "uv_proj": scene["uv_proj"][v, pix],
+        "intrinsics": scene["intrinsics"][v],
+        "pose": scene["pose"][v],
+        "verts2d": scene["verts2d"][v],
+        "verts_mask": scene["verts_mask"][v],
+    }
+    ground_truth = {
+        "rgb": scene["rgb"][v, pix],
+        "lines2d": scene["lines"][v, labels],  # (R, 5)
+    }
+    return inputs, ground_truth
+
+
+def make_train_step(
+    model_cfg: NeatConfig,
+    loss_cfg: LossConfig,
+    lr: float,
+    decay_rate: float,
+    decay_steps: int,
+    n_rays: int,
+    img_width: int,
+    data_sharding=None,
+    donate: bool = True,
+):
+    """Build the jitted step function.
+
+    step(state, scene, rng) -> (state, metrics)
+    """
+    optimizer = make_optimizer(lr, decay_rate, decay_steps)
+
+    def loss_fn(params, inputs, ground_truth, rng):
+        out = neat_forward(params, inputs, model_cfg, rng, training=True)
+        losses = neat_loss(out, ground_truth, loss_cfg)
+        aux = dict(losses)
+        aux["psnr"] = psnr_fn(out["rgb_values"], ground_truth["rgb"])
+        return losses["loss"], aux
+
+    def step(state: TrainState, scene: Dict[str, jnp.ndarray], rng) -> Tuple[TrainState, Dict]:
+        r_batch, r_fwd = jax.random.split(jax.random.fold_in(rng, state.step))
+        inputs, ground_truth = sample_batch(r_batch, scene, n_rays, img_width)
+        if data_sharding is not None:
+            inputs = {
+                k: (
+                    jax.lax.with_sharding_constraint(v, data_sharding)
+                    if v.ndim >= 1 and v.shape[0] == n_rays
+                    else v
+                )
+                for k, v in inputs.items()
+            }
+            ground_truth = {
+                k: jax.lax.with_sharding_constraint(v, data_sharding)
+                for k, v in ground_truth.items()
+            }
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, inputs, ground_truth, r_fwd
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+        return new_state, aux
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)

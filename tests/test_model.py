@@ -1,0 +1,141 @@
+"""End-to-end model forward/loss/grad tests on synthetic inputs."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from neat_tpu.model import NeatConfig, init_neat, neat_forward, neat_loss, LossConfig
+from neat_tpu.fields.mlp import ImplicitNetConfig, GlobalJunctionsConfig
+from neat_tpu.sampling.samplers import ErrorBoundSamplerConfig
+
+
+def tiny_cfg(**kw):
+    return NeatConfig(
+        implicit=ImplicitNetConfig(dims=(32,) * 4, skip_in=(2,), multires=4),
+        junctions=GlobalJunctionsConfig(num_junctions=16, dim_hidden=32),
+        sampler=ErrorBoundSamplerConfig(
+            n_samples=8, n_samples_eval=16, n_samples_extra=4, max_total_iters=2
+        ),
+        max_verts=8,
+        **kw,
+    )
+
+
+def make_inputs(n_rays=16, n_verts=8):
+    rng = np.random.RandomState(0)
+    k = np.array(
+        [[100.0, 0, 32, 0], [0, 100.0, 32, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
+        np.float32,
+    )
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = -2.0
+    return {
+        "uv": jnp.asarray(rng.rand(n_rays, 2).astype(np.float32) * 64),
+        "uv_proj": jnp.asarray(rng.rand(n_rays, 2).astype(np.float32) * 64),
+        "intrinsics": jnp.asarray(k),
+        "pose": jnp.asarray(pose),
+        "verts2d": jnp.asarray(rng.rand(n_verts, 2).astype(np.float32) * 64),
+        "verts_mask": jnp.asarray([True] * 5 + [False] * 3),
+    }
+
+
+def make_gt(n_rays=16):
+    rng = np.random.RandomState(1)
+    lines = rng.rand(n_rays, 5).astype(np.float32)
+    lines[:, :4] *= 64
+    return {
+        "rgb": jnp.asarray(rng.rand(n_rays, 3).astype(np.float32)),
+        "lines2d": jnp.asarray(lines),
+    }
+
+
+class TestForward:
+    def test_output_shapes(self):
+        cfg = tiny_cfg()
+        params = init_neat(jax.random.PRNGKey(0), cfg)
+        out = neat_forward(params, make_inputs(), cfg, jax.random.PRNGKey(1))
+        r = 16
+        s = 8 + 4 + 2
+        assert out["rgb_values"].shape == (r, 3)
+        assert out["z_vals"].shape == (r, s)
+        assert out["lines3d"].shape == (r, 2, 3)
+        assert out["lines2d"].shape == (r, 2, 2)
+        assert out["j3d_local"].shape == (8, 3)
+        assert out["j3d_global"].shape == (16, 3)
+        assert out["grad_theta"].shape == (2 * r, 3)
+        for k, v in out.items():
+            assert np.isfinite(np.asarray(v)).all(), f"{k} has non-finite values"
+
+    def test_eval_mode(self):
+        cfg = tiny_cfg()
+        params = init_neat(jax.random.PRNGKey(0), cfg)
+        out = neat_forward(params, make_inputs(), cfg, jax.random.PRNGKey(1), training=False)
+        assert "normal_map" in out
+        assert "j3d_local" not in out
+        assert "grad_theta" not in out
+
+    def test_volsdf_variant(self):
+        cfg = tiny_cfg(model_variant="volsdf")
+        params = init_neat(jax.random.PRNGKey(0), cfg)
+        assert "attraction" not in params
+        out = neat_forward(params, make_inputs(), cfg, jax.random.PRNGKey(1))
+        assert "lines3d" not in out
+        assert "grad_theta" in out
+
+    def test_uniform_sampler_variant(self):
+        cfg = tiny_cfg(sampler_kind="uniform")
+        params = init_neat(jax.random.PRNGKey(0), cfg)
+        out = neat_forward(params, make_inputs(), cfg, jax.random.PRNGKey(1))
+        assert out["z_vals"].shape == (16, 8)
+
+    def test_dbscan_variant(self):
+        cfg = tiny_cfg(dbscan_enabled=True)
+        params = init_neat(jax.random.PRNGKey(0), cfg)
+        out = neat_forward(params, make_inputs(), cfg, jax.random.PRNGKey(1))
+        assert np.isfinite(np.asarray(out["j3d_local"])).all()
+
+
+class TestLossAndGrad:
+    def test_loss_finite_and_components(self):
+        cfg = tiny_cfg()
+        params = init_neat(jax.random.PRNGKey(0), cfg)
+        out = neat_forward(params, make_inputs(), cfg, jax.random.PRNGKey(1))
+        losses = neat_loss(out, make_gt(), LossConfig())
+        for k in ["loss", "rgb_loss", "eikonal_loss", "line_loss", "j3d_loss", "j2d_loss"]:
+            assert k in losses
+            assert np.isfinite(float(losses[k])), f"{k} not finite"
+
+    def test_grads_flow_everywhere(self):
+        cfg = tiny_cfg()
+        params = init_neat(jax.random.PRNGKey(0), cfg)
+        inputs, gt = make_inputs(), make_gt()
+
+        def loss_fn(p):
+            out = neat_forward(p, inputs, cfg, jax.random.PRNGKey(1))
+            return neat_loss(out, gt, LossConfig())["loss"]
+
+        grads = jax.grad(loss_fn)(params)
+        flat, _ = jax.tree_util.tree_flatten(grads)
+        for g in flat:
+            assert np.isfinite(np.asarray(g)).all()
+        # every head receives gradient
+        assert np.abs(np.asarray(grads["implicit"]["lin0"]["v"])).sum() > 0
+        assert np.abs(np.asarray(grads["rendering"]["lin0"]["v"])).sum() > 0
+        assert np.abs(np.asarray(grads["attraction"]["lin0"]["v"])).sum() > 0
+        assert np.abs(np.asarray(grads["junctions"]["latents"])).sum() > 0
+        assert np.abs(np.asarray(grads["density"].beta)) >= 0
+
+    def test_jit_compiles(self):
+        cfg = tiny_cfg()
+        params = init_neat(jax.random.PRNGKey(0), cfg)
+        inputs, gt = make_inputs(), make_gt()
+
+        @jax.jit
+        def step(p, rng):
+            out = neat_forward(p, inputs, cfg, rng, training=True)
+            return neat_loss(out, gt, LossConfig())["loss"]
+
+        l1 = float(step(params, jax.random.PRNGKey(1)))
+        l2 = float(step(params, jax.random.PRNGKey(2)))
+        assert np.isfinite(l1) and np.isfinite(l2)
