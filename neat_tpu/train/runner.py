@@ -252,25 +252,33 @@ class TrainRunner:
         self.logger.info("training...")
         cfg = self.cfg
         rng = jax.random.PRNGKey(self.seed)
-        t0 = time.time()
         for epoch in range(self.start_epoch, cfg.nepochs + 1):
             if epoch % cfg.checkpoint_freq == 0:
                 self.save(epoch)
                 self.dump_junctions(epoch)
 
+            t0 = time.time()
+            # per-step jitted calls dispatch asynchronously; metrics stay on
+            # device until the end of the epoch, so the chip never stalls
             rng, sub = jax.random.split(rng)
             epoch_rngs = jax.random.split(sub, self.n_views)
-            self.state, aux = self.epoch_fn()(self.state, self.scene_dev, epoch_rngs)
+            auxes = []
+            for i in range(self.n_views):
+                self.state, aux = self.step_fn(self.state, self.scene_dev, epoch_rngs[i])
+                auxes.append(aux)
 
             if epoch % self.log_every_epochs == 0:
-                means = {k: float(np.mean(np.asarray(v))) for k, v in aux.items()}
+                auxes = jax.device_get(auxes)
+                means = {
+                    k: float(np.mean([np.asarray(a[k]) for a in auxes]))
+                    for k in auxes[0]
+                }
                 msg = " ".join(f"{k} = {v:.4f}" for k, v in sorted(means.items()))
                 rays_s = self.n_views * self.n_rays / max(time.time() - t0, 1e-9)
                 self.logger.info(
                     f"{self.expname} [{epoch}/{cfg.nepochs}]: {msg} "
                     f"({rays_s:,.0f} rays/s)"
                 )
-            t0 = time.time()
 
         self.save(cfg.nepochs)
         self.dump_junctions(cfg.nepochs)
@@ -278,6 +286,9 @@ class TrainRunner:
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(
         description="neat_tpu trainer (reference exp_runner.py parity CLI)"
     )

@@ -1,0 +1,271 @@
+"""Isosurface extraction and mesh IO.
+
+Replaces the reference's skimage marching-cubes + trimesh + plotly pipeline
+(reference code/utils/plots.py:101-218, get_surface_trace /
+get_surface_high_res_mesh) with a dependency-free vectorized marching-
+tetrahedra implementation: each grid cube splits into 6 tetrahedra, each
+tetrahedron with a sign change emits 1-2 triangles with linear zero-crossing
+interpolation. More triangles than marching cubes but topologically clean
+and exact on the same linear model — equivalent for the DTU ACC/COMP
+protocol, which samples points from the surface.
+
+The SDF is evaluated on the grid in jitted chunks (the reference's chunked
+eval, plots.py:120-135).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+# tetrahedra decomposition of a cube (vertex ids 0..7, standard 6-tet split)
+_CUBE_TETS = np.asarray(
+    [
+        [0, 5, 1, 6],
+        [0, 1, 2, 6],
+        [0, 2, 3, 6],
+        [0, 3, 7, 6],
+        [0, 7, 4, 6],
+        [0, 4, 5, 6],
+    ],
+    dtype=np.int64,
+)
+# cube corner offsets (z fastest): id = x*4... use (dx, dy, dz)
+_CUBE_CORNERS = np.asarray(
+    [
+        [0, 0, 0],
+        [1, 0, 0],
+        [1, 1, 0],
+        [0, 1, 0],
+        [0, 0, 1],
+        [1, 0, 1],
+        [1, 1, 1],
+        [0, 1, 1],
+    ],
+    dtype=np.int64,
+)
+
+
+def marching_tetrahedra(
+    values: np.ndarray, origin, spacing
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Extract the zero isosurface of a scalar grid.
+
+    values: (Nx, Ny, Nz); origin: (3,); spacing: (3,).
+    Returns (vertices (V, 3), faces (F, 3)).
+    """
+    nx, ny, nz = values.shape
+    origin = np.asarray(origin, dtype=np.float64)
+    spacing = np.asarray(spacing, dtype=np.float64)
+
+    # corner values for every cube: (C, 8)
+    ix, iy, iz = np.meshgrid(
+        np.arange(nx - 1), np.arange(ny - 1), np.arange(nz - 1), indexing="ij"
+    )
+    base = np.stack([ix, iy, iz], axis=-1).reshape(-1, 3)  # (C, 3)
+    # skip cubes with no sign change early
+    corner_idx = base[:, None, :] + _CUBE_CORNERS[None, :, :]  # (C, 8, 3)
+    cv = values[corner_idx[..., 0], corner_idx[..., 1], corner_idx[..., 2]]
+    has_cross = (cv.min(axis=1) < 0) & (cv.max(axis=1) > 0)
+    base = base[has_cross]
+    cv = cv[has_cross]
+    if base.shape[0] == 0:
+        return np.zeros((0, 3)), np.zeros((0, 3), dtype=np.int64)
+
+    # tetrahedra: (C, 6, 4) corner ids -> values and positions
+    tv = cv[:, _CUBE_TETS]  # (C, 6, 4)
+    tpos = (
+        base[:, None, None, :] + _CUBE_CORNERS[_CUBE_TETS][None]
+    )  # (C, 6, 4, 3) grid coords
+    tv = tv.reshape(-1, 4)
+    tpos = tpos.reshape(-1, 4, 3).astype(np.float64)
+
+    neg = tv < 0
+    n_neg = neg.sum(axis=1)
+
+    verts_out = []
+    faces_out = []
+    n_verts = 0
+
+    def edge_cross(p_a, v_a, p_b, v_b):
+        t = v_a / (v_a - v_b)
+        return p_a + t[:, None] * (p_b - p_a)
+
+    # 1-neg / 3-neg cases: one lone vertex against three -> one triangle
+    # (face orientation is not normalized — the consumers sample points)
+    for count in (1, 3):
+        sel = n_neg == count
+        if not sel.any():
+            continue
+        tvs, tps = tv[sel], tpos[sel]
+        inside = (tvs < 0) if count == 1 else (tvs >= 0)
+        lone = inside.argmax(axis=1)
+        # the three vertices on the other side, in index order
+        others = np.argsort(inside, axis=1, kind="stable")[:, :3]
+        idx = np.arange(tvs.shape[0])
+        pa = tps[idx, lone]
+        va = tvs[idx, lone]
+        tri = []
+        for k in range(3):
+            ob = others[:, k]
+            tri.append(edge_cross(pa, va, tps[idx, ob], tvs[idx, ob]))
+        tri = np.stack(tri, axis=1)  # (T, 3, 3)
+        verts_out.append(tri.reshape(-1, 3))
+        f = np.arange(tri.shape[0] * 3).reshape(-1, 3) + n_verts
+        n_verts += tri.shape[0] * 3
+        faces_out.append(f)
+
+    sel = n_neg == 2
+    if sel.any():
+        tvs, tps = tv[sel], tpos[sel]
+        neg2 = tvs < 0
+        # two negative ids (a0, a1), two positive (b0, b1)
+        order = np.argsort(~neg2, axis=1)
+        a0, a1, b0, b1 = order[:, 0], order[:, 1], order[:, 2], order[:, 3]
+        idx = np.arange(tvs.shape[0])
+        p = lambda j: tps[idx, j]
+        v = lambda j: tvs[idx, j]
+        e00 = edge_cross(p(a0), v(a0), p(b0), v(b0))
+        e01 = edge_cross(p(a0), v(a0), p(b1), v(b1))
+        e10 = edge_cross(p(a1), v(a1), p(b0), v(b0))
+        e11 = edge_cross(p(a1), v(a1), p(b1), v(b1))
+        quad_tris = np.concatenate(
+            [
+                np.stack([e00, e01, e11], axis=1),
+                np.stack([e00, e11, e10], axis=1),
+            ],
+            axis=0,
+        )
+        verts_out.append(quad_tris.reshape(-1, 3))
+        f = np.arange(quad_tris.shape[0] * 3).reshape(-1, 3) + n_verts
+        n_verts += quad_tris.shape[0] * 3
+        faces_out.append(f)
+
+    verts = np.concatenate(verts_out, axis=0)
+    faces = np.concatenate(faces_out, axis=0)
+
+    # weld duplicate vertices (first-occurrence representative)
+    verts_q = np.round(verts * 1e6).astype(np.int64)
+    uniq, inv = np.unique(verts_q, axis=0, return_inverse=True)
+    first = np.full(uniq.shape[0], verts.shape[0], dtype=np.int64)
+    np.minimum.at(first, inv, np.arange(verts.shape[0]))
+    verts_w = verts[first]
+    faces_w = inv[faces]
+    # drop degenerate faces
+    good = (
+        (faces_w[:, 0] != faces_w[:, 1])
+        & (faces_w[:, 1] != faces_w[:, 2])
+        & (faces_w[:, 0] != faces_w[:, 2])
+    )
+    faces_w = faces_w[good]
+
+    verts_world = origin[None] + verts_w * spacing[None]
+    return verts_world, faces_w
+
+
+def sdf_to_mesh(
+    sdf_fn: Callable[[np.ndarray], np.ndarray],
+    resolution: int = 100,
+    grid_boundary: Tuple[float, float] = (-1.5, 1.5),
+    chunk: int = 65536,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Evaluate an SDF on a uniform grid and extract its zero surface
+    (reference plots.py get_surface_trace / get_grid_uniform)."""
+    lo, hi = grid_boundary
+    xs = np.linspace(lo, hi, resolution, dtype=np.float32)
+    gx, gy, gz = np.meshgrid(xs, xs, xs, indexing="ij")
+    pts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+    vals = np.empty((pts.shape[0],), dtype=np.float32)
+    for c0 in range(0, pts.shape[0], chunk):
+        c1 = min(c0 + chunk, pts.shape[0])
+        vals[c0:c1] = np.asarray(sdf_fn(pts[c0:c1])).reshape(-1)
+    grid = vals.reshape(resolution, resolution, resolution)
+    spacing = (hi - lo) / (resolution - 1)
+    return marching_tetrahedra(grid, (lo, lo, lo), (spacing,) * 3)
+
+
+def save_ply(path: str, verts: np.ndarray, faces: Optional[np.ndarray] = None) -> None:
+    """ASCII PLY export (replaces trimesh.export)."""
+    faces = faces if faces is not None else np.zeros((0, 3), dtype=np.int64)
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(verts)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write(f"element face {len(faces)}\n")
+        f.write("property list uchar int vertex_indices\nend_header\n")
+        for v in verts:
+            f.write(f"{v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for face in faces:
+            f.write(f"3 {face[0]} {face[1]} {face[2]}\n")
+
+
+def load_ply(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Minimal ASCII/binary-little-endian PLY reader (verts + faces)."""
+    with open(path, "rb") as f:
+        header = []
+        while True:
+            line = f.readline().decode("ascii").strip()
+            header.append(line)
+            if line == "end_header":
+                break
+        n_vert = n_face = 0
+        fmt = "ascii"
+        props = []
+        elem = None
+        for line in header:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "format":
+                fmt = parts[1]
+            elif parts[0] == "element":
+                elem = parts[1]
+                if elem == "vertex":
+                    n_vert = int(parts[2])
+                elif elem == "face":
+                    n_face = int(parts[2])
+            elif parts[0] == "property" and elem == "vertex":
+                props.append(parts[-1])
+        if fmt == "ascii":
+            verts = np.loadtxt(
+                [f.readline() for _ in range(n_vert)], dtype=np.float32
+            ).reshape(n_vert, -1)[:, :3]
+            faces = []
+            for _ in range(n_face):
+                parts = f.readline().split()
+                faces.append([int(x) for x in parts[1:4]])
+            return verts, np.asarray(faces, dtype=np.int64).reshape(-1, 3)
+        else:
+            n_props = len(props)
+            data = np.frombuffer(
+                f.read(n_vert * n_props * 4), dtype="<f4"
+            ).reshape(n_vert, n_props)
+            verts = data[:, :3].copy()
+            faces = np.zeros((n_face, 3), dtype=np.int64)
+            for i in range(n_face):
+                cnt = np.frombuffer(f.read(1), dtype=np.uint8)[0]
+                idx = np.frombuffer(f.read(4 * cnt), dtype="<i4")
+                faces[i] = idx[:3]
+            return verts, faces
+
+
+def sample_mesh_surface(
+    verts: np.ndarray, faces: np.ndarray, n_points: int, seed: int = 0
+) -> np.ndarray:
+    """Uniform surface sampling by triangle area (replaces
+    trimesh/o3d sample_points_uniformly in the DTU eval)."""
+    v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    areas = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=1)
+    total = areas.sum()
+    if total <= 0:
+        return verts[:n_points]
+    rs = np.random.RandomState(seed)
+    tri = rs.choice(len(faces), size=n_points, p=areas / total)
+    r1 = np.sqrt(rs.rand(n_points))
+    r2 = rs.rand(n_points)
+    return (
+        (1 - r1)[:, None] * v0[tri]
+        + (r1 * (1 - r2))[:, None] * v1[tri]
+        + (r1 * r2)[:, None] * v2[tri]
+    )

@@ -1,0 +1,462 @@
+"""Wireframe finalization: distill the trained fields into an explicit 3D
+wireframe graph.
+
+Parity target: reference code/neat-final-parsing.py (C21 in SURVEY.md):
+  1. decode the global junctions and Newton-refine them onto the surface
+     (x <- x - f(x) grad f(x), keep |sdf| < 0.05) (:173-187);
+  2. per view, evaluate the attraction field on the support pixels
+     (distance_threshold=1) in chunks, keep rendered 2D lines within
+     ``line_dis_threshold`` px^2 of a detected HAWP line, group by the
+     matched GT line and average the 3D segments (:190-260);
+  3. vote endpoints onto global junctions via Hungarian matching within
+     ``junc_match_threshold`` (:266-271); junctions with >= 2 votes
+     survive (:293);
+  4. keep per-view lines whose support-point distance score is below
+     ``line_score_threshold`` (:279-281);
+  5. snap both endpoints of every kept line to its nearest junction to
+     form the junction-pair graph (:134-156);
+  6. visibility-check the graph lines against every view's detections
+     (:305-337);
+  7. write {all, wfi, wfi_checked}.npz + a full result .pth-equivalent
+     (npz) keyed by a sha256 of the finalization hyperparameters
+     (:383-426).
+
+The field evaluations are jitted with fixed chunk shapes; the graph
+assembly is numpy (host) — it is tiny and runs once.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import hashlib
+import json
+import os
+import os.path as osp
+import pickle
+from collections import defaultdict
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..model.neat import NeatConfig, neat_forward
+from ..fields.mlp import (
+    global_junctions_forward,
+    implicit_sdf,
+    implicit_sdf_feat_grad,
+)
+
+
+def make_hash_sha256(obj) -> str:
+    """Deterministic hyperparameter hash (reference neat-final-parsing.py:
+    25-40)."""
+
+    def make_hashable(o):
+        if isinstance(o, (tuple, list)):
+            return tuple(make_hashable(e) for e in o)
+        if isinstance(o, dict):
+            return tuple(sorted((k, make_hashable(v)) for k, v in o.items()))
+        if isinstance(o, (set, frozenset)):
+            return tuple(sorted(make_hashable(e) for e in o))
+        return o
+
+    hasher = hashlib.sha256()
+    hasher.update(repr(make_hashable(obj)).encode())
+    return base64.b64encode(hasher.digest()).decode()
+
+
+def newton_refine_junctions(
+    params, cfg: NeatConfig, sdf_threshold: float = 0.05
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode global junctions, one Newton step onto the zero level set,
+    sort by |sdf| (reference :173-187). Returns (junctions (J, 3),
+    is_valid (J,))."""
+    pts = global_junctions_forward(params["junctions"], cfg.junctions)
+    sdf, _, grad = implicit_sdf_feat_grad(params["implicit"], pts, cfg.implicit)
+    pts = jax.lax.stop_gradient(pts - sdf * grad)
+    sdf2 = implicit_sdf(params["implicit"], pts, cfg.implicit)[:, 0]
+    order = jnp.argsort(sdf2)
+    pts = pts[order]
+    sdf2 = sdf2[order]
+    return np.asarray(pts), np.asarray(jnp.abs(sdf2) < sdf_threshold)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _eval_chunk(params, inputs, cfg: NeatConfig, rng):
+    out = neat_forward(params, inputs, cfg, rng, training=False)
+    return out["lines3d"], out["lines2d"].reshape(-1, 4), out["l3d"]
+
+
+def view_field_lines(
+    params,
+    cfg: NeatConfig,
+    scene,
+    view: int,
+    chunksize: int = 2048,
+    mask_override: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Evaluate the attraction field on a view's support pixels.
+
+    Returns (lines3d (N,2,3), lines2d (N,4), l3d (N,3), labels (N,)).
+    """
+    mask = mask_override if mask_override is not None else scene.mask[view]
+    pix = np.nonzero(mask)[0]
+    labels = scene.labels[view][pix]
+    h, w = scene.img_res
+    uv = np.stack([pix % w, pix // w], axis=-1).astype(np.float32)
+    uv_proj = scene.uv_proj[view][pix]
+
+    intr = jnp.asarray(scene.intrinsics[view])
+    pose = jnp.asarray(scene.pose[view])
+    dummy_verts = jnp.zeros((1, 2), dtype=jnp.float32)
+    dummy_vmask = jnp.zeros((1,), dtype=bool)
+
+    lines3d_all, lines2d_all, l3d_all = [], [], []
+    rng = jax.random.PRNGKey(0)
+    for c0 in range(0, len(pix), chunksize):
+        c1 = min(c0 + chunksize, len(pix))
+        n = c1 - c0
+        pad = chunksize - n
+        uv_c = np.pad(uv[c0:c1], ((0, pad), (0, 0)), mode="edge")
+        uvp_c = np.pad(uv_proj[c0:c1], ((0, pad), (0, 0)), mode="edge")
+        inputs = {
+            "uv": jnp.asarray(uv_c),
+            "uv_proj": jnp.asarray(uvp_c),
+            "intrinsics": intr,
+            "pose": pose,
+            "verts2d": dummy_verts,
+            "verts_mask": dummy_vmask,
+        }
+        l3, l2, lp = _eval_chunk(params, inputs, cfg, rng)
+        lines3d_all.append(np.asarray(l3)[:n])
+        lines2d_all.append(np.asarray(l2)[:n])
+        l3d_all.append(np.asarray(lp)[:n])
+    return (
+        np.concatenate(lines3d_all),
+        np.concatenate(lines2d_all),
+        np.concatenate(l3d_all),
+        labels,
+    )
+
+
+def wireframe_from_lines_and_junctions(
+    lines: np.ndarray,
+    junctions: np.ndarray,
+    rel_matching_distance_threshold: float = 0.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Snap line endpoints to nearest junctions -> adjacency + graph lines
+    (reference :134-156). lines (L,2,3), junctions (J,3)."""
+    ep1, ep2 = lines[:, 0], lines[:, 1]
+    c1 = np.linalg.norm(ep1[:, None] - junctions[None], axis=-1)
+    c2 = np.linalg.norm(ep2[:, None] - junctions[None], axis=-1)
+    m1, i1 = c1.min(1), c1.argmin(1)
+    m2, i2 = c2.min(1), c2.argmin(1)
+    is_matched = np.maximum(m1, m2) < np.linalg.norm(ep1 - ep2, axis=-1)
+    if rel_matching_distance_threshold > 0:
+        is_matched &= np.maximum(m1, m2) < rel_matching_distance_threshold
+
+    graph = np.zeros((junctions.shape[0], junctions.shape[0]), dtype=np.float32)
+    if is_matched.sum() > 0:
+        lo = np.minimum(i1, i2)[is_matched]
+        hi = np.maximum(i1, i2)[is_matched]
+        graph[lo, hi] = 1
+        graph[hi, lo] = 1
+    iu, ju = np.nonzero(np.triu(graph))
+    lines_wf = np.stack([junctions[iu], junctions[ju]], axis=1)
+    return graph, lines_wf
+
+
+def initial_recon(
+    params,
+    cfg: NeatConfig,
+    scene,
+    chunksize: int = 2048,
+    line_dis_threshold: float = 10.0,
+    line_score_threshold: float = 0.01,
+    junc_match_threshold: float = 0.05,
+    sdf_junction_refine: bool = True,
+    gt_line_threshold: float = 0.01,
+    verbose: bool = True,
+) -> Dict[str, np.ndarray]:
+    """Per-view field distillation + global-junction voting (reference
+    :159-302)."""
+    from scipy.optimize import linear_sum_assignment
+
+    if sdf_junction_refine:
+        global_junctions, _ = newton_refine_junctions(params, cfg)
+    else:
+        global_junctions = np.asarray(
+            global_junctions_forward(params["junctions"], cfg.junctions)
+        )
+
+    gjc_votes: Dict[int, list] = defaultdict(list)
+    lines3d_all, points3d_all, scores_all = [], [], []
+
+    for view in range(scene.n_images):
+        lines3d, lines2d, l3d, _ = view_field_lines(
+            params, cfg, scene, view, chunksize
+        )
+        # duplicate with swapped endpoint order (reference :229-234)
+        lines3d = np.concatenate([lines3d, lines3d[:, [1, 0]]], axis=0)
+        lines2d = np.concatenate([lines2d, lines2d[:, [2, 3, 0, 1]]], axis=0)
+        points3d = np.concatenate([l3d, l3d], axis=0)
+
+        nl = scene.n_lines[view]
+        gt5 = scene.lines[view][:nl]
+        gt_lines = gt5[gt5[:, 4] > gt_line_threshold][:, :4]
+        if gt_lines.shape[0] == 0:
+            continue
+
+        dis = ((lines2d[:, None] - gt_lines[None]) ** 2).sum(-1)
+        mindis = dis.min(1)
+        minidx = dis.argmin(1)
+        keep = mindis < line_dis_threshold
+        if keep.sum() == 0:
+            continue
+        assignment = minidx[keep]
+        lines3d_valid = lines3d[keep]
+        points3d_valid = points3d[keep]
+
+        view_lines, view_points, view_scores = [], [], []
+        rs = np.random.RandomState(view)
+        for label in np.unique(assignment):
+            idx = np.nonzero(assignment == label)[0]
+            val = lines3d_valid[idx].mean(axis=0)  # (2, 3)
+            support = points3d_valid[idx]
+            denom = max(np.linalg.norm(val[1] - val[0]), 1e-6)
+            support_dis = (
+                np.linalg.norm(
+                    np.cross(support - val[0], support - val[1]), axis=-1
+                )
+                / denom
+            )
+            view_lines.append(val)
+            view_points.append(support[rs.randint(len(idx))])
+            view_scores.append(support_dis.mean())
+
+        view_lines = np.stack(view_lines)
+        view_scores = np.asarray(view_scores, dtype=np.float32)
+
+        endpoints = view_lines.reshape(-1, 3)
+        cdist = np.linalg.norm(
+            global_junctions[:, None] - endpoints[None], axis=-1
+        )
+        ai, aj = linear_sum_assignment(cdist)
+        for a, b in zip(ai, aj):
+            if cdist[a, b] < junc_match_threshold:
+                gjc_votes[int(a)].append(endpoints[b])
+
+        lines3d_all.append(view_lines)
+        points3d_all.append(np.stack(view_points))
+        scores_all.append(view_scores)
+        if verbose:
+            print(
+                f"view {view}: junctions voted {len(gjc_votes)} <-- "
+                f"{sum(l.shape[0] for l in lines3d_all)} lines"
+            )
+
+    lines3d_all = np.concatenate(lines3d_all, axis=0)
+    scores_all = np.concatenate(scores_all, axis=0)
+    lines3d_all = lines3d_all[scores_all < line_score_threshold]
+
+    voted = [k for k, v in gjc_votes.items() if len(v) > 1]
+    junctions3d_initial = (
+        global_junctions[np.asarray(voted)]
+        if voted
+        else np.zeros((0, 3), dtype=np.float32)
+    )
+    if junctions3d_initial.shape[0] > 0 and lines3d_all.shape[0] > 0:
+        graph_initial, lines3d_wfi = wireframe_from_lines_and_junctions(
+            lines3d_all, junctions3d_initial, rel_matching_distance_threshold=0
+        )
+    else:
+        graph_initial = np.zeros((0, 0), dtype=np.float32)
+        lines3d_wfi = np.zeros((0, 2, 3), dtype=np.float32)
+
+    return {
+        "junctions3d_initial": junctions3d_initial,
+        "lines3d_all": lines3d_all,
+        "graph_initial": graph_initial,
+        "lines3d_wfi": lines3d_wfi,
+        "global_junctions": global_junctions,
+    }
+
+
+def visibility_checking(
+    lines3d: np.ndarray,
+    scene,
+    mindis_th: float = 25.0,
+    min_visible_views: int = 1,
+    gt_line_threshold: float = 0.05,
+) -> np.ndarray:
+    """Keep lines whose 2D projection is near a detected line in enough
+    views (reference :305-337)."""
+    from ..core.camera import project2d
+
+    if lines3d.shape[0] == 0:
+        return lines3d
+    visibility = np.zeros((lines3d.shape[0], scene.n_images), dtype=bool)
+    for view in range(scene.n_images):
+        nl = scene.n_lines[view]
+        gt5 = scene.lines[view][:nl]
+        gt = gt5[gt5[:, 4] > gt_line_threshold][:, :4]
+        if gt.shape[0] == 0:
+            continue
+        w2c = np.linalg.inv(scene.pose[view])
+        l2d = np.asarray(
+            project2d(
+                jnp.asarray(scene.intrinsics[view][:3, :3]),
+                jnp.asarray(w2c[:3, :3]),
+                jnp.asarray(w2c[:3, 3]),
+                jnp.asarray(lines3d),
+            )
+        ).reshape(-1, 4)
+        d1 = ((l2d[:, None] - gt[None]) ** 2).sum(-1)
+        d2 = ((l2d[:, None] - gt[None][:, :, [2, 3, 0, 1]]) ** 2).sum(-1)
+        mindis = np.minimum(d1, d2).min(1)
+        visibility[mindis < mindis_th, view] = True
+    return lines3d[visibility.sum(axis=1) >= min_visible_views]
+
+
+def wireframe_recon(
+    conf: str,
+    checkpoint: str = "latest",
+    chunksize: int = 2048,
+    distance: float = 10.0,
+    ckdist: float = 100.0,
+    ckview: int = 5,
+    junc_match_threshold: float = 0.02,
+    sdf_junction_refine: bool = True,
+    overwrite: bool = False,
+    data_root: str = "../data",
+    assignment_method: str = "auction",
+    verbose: bool = True,
+) -> Dict[str, np.ndarray]:
+    """Full finalization entry (reference wireframe_recon, :339-427).
+
+    ``conf`` must be the runconf.conf inside a training timestamp dir.
+    Writes {ckpt}-{sha8}-{all,wfi,wfi_checked}.npz + {ckpt}-{sha8}-neat.pkl
+    under <rundir>/wireframes/.
+    """
+    from ..train.config import load_experiment_config
+    from ..train.checkpoint import load_checkpoint
+    from ..train.runner import TrainRunner  # for _load_scene logic
+    from ..data.datasets import load_scene
+
+    assert osp.basename(conf) == "runconf.conf", "pass a rundir runconf.conf"
+    rundir = osp.dirname(conf)
+
+    cfg = load_experiment_config(conf, assignment_method=assignment_method)
+    state, epoch = load_checkpoint(osp.join(rundir, "checkpoints"), checkpoint)
+    params = state.params
+
+    # rebuild the dataset at distance_threshold = 1 (reference :349-372)
+    kind = cfg.dataset_kind
+    kwargs = dict(
+        data_dir=cfg.data_dir,
+        img_res=cfg.img_res,
+        data_root=data_root,
+        distance_threshold=1.0,
+        max_verts=cfg.model.max_verts,
+    )
+    if kind in ("dtu", "scene"):
+        kwargs["scan_id"] = cfg.scan_id
+        scene = load_scene("dtu", **kwargs)
+    else:
+        scene = load_scene("blender", **kwargs)
+
+    wireframe_dir = osp.join(rundir, "wireframes")
+    os.makedirs(wireframe_dir, exist_ok=True)
+
+    sha256 = make_hash_sha256(
+        {
+            "conf": conf,
+            "checkpoint": checkpoint,
+            "distance": distance,
+            "sdf_junction_refine": sdf_junction_refine,
+        }
+    )[:8].replace("/", "n")
+    out_base = f"{checkpoint}-{sha256}"
+    pth_path = osp.join(wireframe_dir, f"{out_base}-neat.pkl")
+
+    if osp.exists(pth_path) and not overwrite:
+        with open(pth_path, "rb") as f:
+            results = pickle.load(f)
+    else:
+        results = initial_recon(
+            params,
+            cfg.model,
+            scene,
+            chunksize=chunksize,
+            line_dis_threshold=distance,
+            junc_match_threshold=junc_match_threshold,
+            sdf_junction_refine=sdf_junction_refine,
+            verbose=verbose,
+        )
+        results["kwargs"] = {
+            "conf": conf,
+            "checkpoint": checkpoint,
+            "distance": distance,
+            "ckdist": ckdist,
+            "ckview": ckview,
+            "junc_match_threshold": junc_match_threshold,
+            "epoch": epoch,
+        }
+
+    results["lines3d_wfi_checked"] = visibility_checking(
+        results["lines3d_wfi"], scene, mindis_th=ckdist, min_visible_views=ckview
+    )
+
+    for key in ("all", "wfi", "wfi_checked"):
+        np.savez(
+            osp.join(wireframe_dir, f"{out_base}-{key}.npz"),
+            lines3d=results[f"lines3d_{key}"],
+        )
+    with open(pth_path, "wb") as f:
+        pickle.dump(results, f)
+    if verbose:
+        print(
+            f"finalized: {results['lines3d_all'].shape[0]} lines, "
+            f"{results['junctions3d_initial'].shape[0]} junctions, "
+            f"{results['lines3d_wfi'].shape[0]} wfi, "
+            f"{results['lines3d_wfi_checked'].shape[0]} wfi_checked -> "
+            f"{wireframe_dir}/{out_base}-*.npz"
+        )
+    return results
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="neat_tpu wireframe finalization (reference neat-final-parsing.py CLI)"
+    )
+    parser.add_argument("--conf", type=str, required=True)
+    parser.add_argument("--checkpoint", default="latest", type=str)
+    parser.add_argument("--chunksize", default=2048, type=int)
+    parser.add_argument("--reproj-dis", default=10, type=float, dest="reproj_dis")
+    parser.add_argument("--ckdist", default=100, type=float)
+    parser.add_argument("--ckview", default=5, type=int)
+    parser.add_argument("--overwrite", default=False, action="store_true")
+    parser.add_argument("--disable-junction-refine", default=False, action="store_true")
+    parser.add_argument("--junc_match_threshold", default=0.02, type=float)
+    parser.add_argument("--data_root", default="../data", type=str)
+    args = parser.parse_args(argv)
+
+    wireframe_recon(
+        conf=args.conf,
+        checkpoint=args.checkpoint,
+        chunksize=args.chunksize,
+        distance=args.reproj_dis,
+        ckdist=args.ckdist,
+        ckview=args.ckview,
+        overwrite=args.overwrite,
+        sdf_junction_refine=not args.disable_junction_refine,
+        junc_match_threshold=args.junc_match_threshold,
+        data_root=args.data_root,
+    )
+
+
+if __name__ == "__main__":
+    main()

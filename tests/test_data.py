@@ -1,0 +1,134 @@
+"""Tests for wireframe IO, the encodels rasterizer, and the dataset packers."""
+
+import json
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from neat_tpu.data.wireframe import WireframeGraph
+from neat_tpu.data.encodels import (
+    encode_line_attraction,
+    _encodels_numpy,
+    attraction_support,
+)
+
+TOY = "/root/reference/data/abc/00075213"
+
+
+def make_graph(tmp_path):
+    g = WireframeGraph(
+        vertices=np.asarray([[0, 0], [10, 0], [10, 10]], np.float32),
+        v_confidences=np.asarray([0.9, 0.8, 0.7], np.float32),
+        edges=np.asarray([[0, 1], [1, 2]], np.int64),
+        weights=np.asarray([0.9, 0.03], np.float32),
+        frame_width=20,
+        frame_height=16,
+    )
+    return g
+
+
+class TestWireframeGraph:
+    def test_line_segments_threshold(self, tmp_path):
+        g = make_graph(tmp_path)
+        lines = g.line_segments(0.05)
+        assert lines.shape == (1, 5)
+        np.testing.assert_allclose(lines[0], [0, 0, 10, 0, 0.9])
+        assert g.line_segments(0.01).shape == (2, 5)
+
+    def test_json_roundtrip(self, tmp_path):
+        g = make_graph(tmp_path)
+        p = tmp_path / "wf.json"
+        g.save_json(p)
+        g2 = WireframeGraph.load_json(p)
+        np.testing.assert_allclose(g2.vertices, g.vertices)
+        assert g2.frame_width == 20 and g2.frame_height == 16
+
+    def test_rescale(self, tmp_path):
+        g = make_graph(tmp_path)
+        g.rescale(40, 32)
+        np.testing.assert_allclose(g.vertices[1], [20, 0])
+
+    @pytest.mark.skipif(not osp.exists(TOY), reason="toy data unavailable")
+    def test_load_real_hawp_json(self):
+        g = WireframeGraph.load_json(osp.join(TOY, "hawp", "image_0000.json"))
+        assert g.num_vertices > 0 and g.num_edges > 0
+        assert g.frame_width == 512 and g.frame_height == 512
+        lines = g.line_segments(0.05)
+        assert lines.shape[1] == 5
+        assert (lines[:, :4] >= 0).all() and (lines[:, :4] <= 512).all()
+
+
+class TestEncodels:
+    lines = np.asarray(
+        [[10, 10, 50, 10], [10, 10, 10, 50], [30, 30, 55, 55]], np.float32
+    )
+
+    def test_native_matches_numpy(self):
+        lmapC, labC = encode_line_attraction(self.lines, 64, 64, backend="native")
+        lmapN, labN = _encodels_numpy(self.lines, 64, 64)
+        np.testing.assert_array_equal(labC, labN)
+        np.testing.assert_allclose(lmapC, lmapN, atol=1e-5)
+
+    def test_attraction_point_on_segment(self):
+        lmap, labels = encode_line_attraction(self.lines, 64, 64)
+        # pixel (30, 10): on line 0 exactly -> zero offset
+        assert labels[10, 30] == 0
+        np.testing.assert_allclose(lmap[:2, 10, 30], [0, 0], atol=1e-5)
+        # pixel (30, 14): 4 px below line 0 -> offset (0, -4)
+        np.testing.assert_allclose(lmap[:2, 14, 30], [0, -4], atol=1e-5)
+
+    def test_endpoint_attraction_clamped(self):
+        # pixel beyond the endpoint: attraction point clamps to the endpoint
+        lmap, labels = encode_line_attraction(
+            np.asarray([[10, 10, 20, 10]], np.float32), 40, 40
+        )
+        # pixel (30, 10): beyond (20,10) -> offset points to (20,10)
+        np.testing.assert_allclose(lmap[:2, 10, 30], [-10, 0], atol=1e-5)
+
+    def test_support_mask(self):
+        mask, labels, proj = attraction_support(self.lines, 64, 64, 5.0)
+        m = mask.reshape(64, 64)
+        assert m[10, 30]  # on line
+        assert m[14, 30]  # 4 px away < 5
+        assert not m[17, 30]  # 7 px away > 5
+        # proj of a masked pixel lies on the segment
+        p = proj.reshape(64, 64, 2)[14, 30]
+        np.testing.assert_allclose(p, [30, 10], atol=1e-5)
+
+
+@pytest.mark.skipif(not osp.exists(TOY), reason="toy data unavailable")
+class TestBlenderScene:
+    @pytest.fixture(scope="class")
+    def scene(self):
+        from neat_tpu.data.datasets import load_blender_scene
+
+        return load_blender_scene(
+            "abc/00075213",
+            (512, 512),
+            data_root="/root/reference/data",
+            max_verts=64,
+        )
+
+    def test_shapes(self, scene):
+        v = scene.n_images
+        assert v > 90
+        assert scene.rgb.shape == (v, 512 * 512, 3)
+        assert scene.mask.shape == (v, 512 * 512)
+        assert scene.verts2d.shape[2] == 2
+        assert (scene.support_count > 0).all()
+        assert scene.intrinsics.shape == (v, 4, 4)
+
+    def test_rgb_range(self, scene):
+        assert scene.rgb.min() >= 0 and scene.rgb.max() <= 1
+
+    def test_support_indices_valid(self, scene):
+        for i in (0, scene.n_images - 1):
+            idx = scene.support_idx[i]
+            assert scene.mask[i][idx].all()
+
+    def test_lines_indexed_by_labels(self, scene):
+        i = 0
+        pix = scene.support_idx[i][:100]
+        labels = scene.labels[i][pix]
+        assert (labels < scene.n_lines[i]).all()
