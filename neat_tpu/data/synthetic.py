@@ -1,0 +1,211 @@
+"""Synthetic wireframe scene generator.
+
+The counterpart of the reference's toy-data producer
+(reference data/abc/00075213/render.py + lines.json): renders a colored
+cuboid from cameras on a sphere with a tiny numpy z-buffer rasterizer and
+emits the full scene data contract — images/, cameras.npz
+(intrinsics/extrinsics), hawp/*.json wireframes (projected visible edges),
+and lines.json CAD ground truth — so integration tests can exercise the
+entire train -> finalize -> eval pipeline hermetically.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+from typing import Tuple
+
+import numpy as np
+
+
+def cuboid_wireframe(size=(0.8, 0.5, 0.6)):
+    """Vertices (8, 3), edges (12, 2), triangle faces (12, 3)."""
+    sx, sy, sz = np.asarray(size) / 2.0
+    verts = np.asarray(
+        [
+            [-sx, -sy, -sz], [sx, -sy, -sz], [sx, sy, -sz], [-sx, sy, -sz],
+            [-sx, -sy, sz], [sx, -sy, sz], [sx, sy, sz], [-sx, sy, sz],
+        ]
+    )
+    edges = np.asarray(
+        [
+            [0, 1], [1, 2], [2, 3], [3, 0],
+            [4, 5], [5, 6], [6, 7], [7, 4],
+            [0, 4], [1, 5], [2, 6], [3, 7],
+        ]
+    )
+    quads = [
+        ([0, 1, 2, 3], (0.85, 0.3, 0.3)),
+        ([4, 5, 6, 7], (0.3, 0.85, 0.3)),
+        ([0, 1, 5, 4], (0.3, 0.3, 0.85)),
+        ([2, 3, 7, 6], (0.85, 0.85, 0.3)),
+        ([1, 2, 6, 5], (0.85, 0.3, 0.85)),
+        ([0, 3, 7, 4], (0.3, 0.85, 0.85)),
+    ]
+    faces, colors = [], []
+    for q, c in quads:
+        faces.append([q[0], q[1], q[2]])
+        faces.append([q[0], q[2], q[3]])
+        colors += [c, c]
+    return verts, edges, np.asarray(faces), np.asarray(colors)
+
+
+def look_at_pose(cam_pos: np.ndarray, target=np.zeros(3), up=(0.0, 0.0, 1.0)):
+    """cam2world with +z forward (OpenCV), +y down-ish."""
+    fwd = target - cam_pos
+    fwd = fwd / np.linalg.norm(fwd)
+    right = np.cross(fwd, np.asarray(up, float))
+    if np.linalg.norm(right) < 1e-6:
+        right = np.cross(fwd, np.asarray([0.0, 1.0, 0.0]))
+    right = right / np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    pose = np.eye(4)
+    pose[:3, 0] = right
+    pose[:3, 1] = down
+    pose[:3, 2] = fwd
+    pose[:3, 3] = cam_pos
+    return pose
+
+
+def render_view(verts, faces, colors, k, pose, res: Tuple[int, int]):
+    """Tiny z-buffer triangle rasterizer. Returns (rgb (H,W,3), depth)."""
+    h, w = res
+    w2c = np.linalg.inv(pose)
+    cam = (w2c[:3, :3] @ verts.T + w2c[:3, 3:]).T
+    proj = (k @ cam.T).T
+    uv = proj[:, :2] / proj[:, 2:]
+    z = cam[:, 2]
+
+    img = np.full((h, w, 3), 1.0, dtype=np.float32)  # white background
+    zbuf = np.full((h, w), np.inf, dtype=np.float32)
+    for f_idx, tri in enumerate(faces):
+        p = uv[tri]
+        tz = z[tri]
+        if (tz <= 0.05).any():
+            continue
+        lo = np.maximum(np.floor(p.min(0)).astype(int), 0)
+        hi = np.minimum(np.ceil(p.max(0)).astype(int) + 1, [w, h])
+        if (hi <= lo).any():
+            continue
+        xs, ys = np.meshgrid(np.arange(lo[0], hi[0]), np.arange(lo[1], hi[1]))
+        pix = np.stack([xs, ys], axis=-1).reshape(-1, 2).astype(np.float64)
+        # barycentric
+        v0, v1, v2 = p[0], p[1], p[2]
+        d = (v1[1] - v2[1]) * (v0[0] - v2[0]) + (v2[0] - v1[0]) * (v0[1] - v2[1])
+        if abs(d) < 1e-9:
+            continue
+        l0 = ((v1[1] - v2[1]) * (pix[:, 0] - v2[0]) + (v2[0] - v1[0]) * (pix[:, 1] - v2[1])) / d
+        l1 = ((v2[1] - v0[1]) * (pix[:, 0] - v2[0]) + (v0[0] - v2[0]) * (pix[:, 1] - v2[1])) / d
+        l2 = 1 - l0 - l1
+        inside = (l0 >= 0) & (l1 >= 0) & (l2 >= 0)
+        if not inside.any():
+            continue
+        pix_in = pix[inside].astype(int)
+        # perspective-correct depth via 1/z interpolation
+        zi = 1.0 / (l0[inside] / tz[0] + l1[inside] / tz[1] + l2[inside] / tz[2])
+        better = zi < zbuf[pix_in[:, 1], pix_in[:, 0]]
+        pi = pix_in[better]
+        zbuf[pi[:, 1], pi[:, 0]] = zi[better]
+        # simple shading by depth for texture
+        shade = 1.0 - 0.15 * ((zi[better] - zi.min()) / max(float(np.ptp(zi)), 1e-6))
+        img[pi[:, 1], pi[:, 0]] = colors[f_idx][None] * shade[:, None]
+    return img, zbuf
+
+
+def visible_edges(verts, edges, k, pose, zbuf, res, n_samples: int = 24):
+    """Project edges; an edge is kept if most of its samples are depth-
+    visible (the synthetic HAWP detector)."""
+    h, w = res
+    w2c = np.linalg.inv(pose)
+    cam = (w2c[:3, :3] @ verts.T + w2c[:3, 3:]).T
+    proj = (k @ cam.T).T
+    uv = proj[:, :2] / proj[:, 2:]
+    z = cam[:, 2]
+
+    out_edges, weights = [], []
+    for e in edges:
+        t = np.linspace(0.05, 0.95, n_samples)
+        pts = uv[e[0]][None] * (1 - t[:, None]) + uv[e[1]][None] * t[:, None]
+        zs = 1.0 / ((1 - t) / z[e[0]] + t / z[e[1]])
+        xi = np.clip(pts[:, 0].round().astype(int), 0, w - 1)
+        yi = np.clip(pts[:, 1].round().astype(int), 0, h - 1)
+        vis = zs <= zbuf[yi, xi] + 2e-2
+        frac = vis.mean()
+        if frac > 0.5:
+            out_edges.append(e)
+            weights.append(float(frac))
+    return np.asarray(out_edges).reshape(-1, 2), np.asarray(weights)
+
+
+def generate_scene(
+    out_dir: str,
+    n_views: int = 12,
+    res: Tuple[int, int] = (96, 96),
+    radius: float = 2.0,
+    seed: int = 0,
+) -> None:
+    """Write images/, cameras.npz, hawp/*.json, lines.json."""
+    import imageio.v2 as imageio
+
+    os.makedirs(osp.join(out_dir, "images"), exist_ok=True)
+    os.makedirs(osp.join(out_dir, "hawp"), exist_ok=True)
+
+    verts, edges, faces, colors = cuboid_wireframe()
+    h, w = res
+    focal = 1.2 * max(res)
+    k = np.asarray(
+        [[focal, 0, w / 2.0], [0, focal, h / 2.0], [0, 0, 1.0]]
+    )
+
+    rs = np.random.RandomState(seed)
+    intr_all, pose_all = [], []
+    for i in range(n_views):
+        theta = 2 * np.pi * i / n_views + rs.rand() * 0.2
+        phi = np.pi / 5 + rs.rand() * 0.6
+        cam_pos = radius * np.asarray(
+            [np.cos(theta) * np.sin(phi), np.sin(theta) * np.sin(phi), np.cos(phi)]
+        )
+        pose = look_at_pose(cam_pos)
+        img, zbuf = render_view(verts, faces, colors, k, pose, res)
+        imageio.imwrite(
+            osp.join(out_dir, "images", f"image_{i:04d}.png"),
+            (np.clip(img, 0, 1) * 255).astype(np.uint8),
+        )
+        ve, vw = visible_edges(verts, edges, k, pose, zbuf, res)
+        w2c = np.linalg.inv(pose)
+        cam = (w2c[:3, :3] @ verts.T + w2c[:3, 3:]).T
+        proj = (k @ cam.T).T
+        uv = proj[:, :2] / proj[:, 2:]
+        wf = {
+            "vertices": uv.tolist(),
+            "vertices-score": [1.0] * len(uv),
+            "edges": ve.tolist(),
+            "edges-weights": vw.tolist(),
+            "height": h,
+            "width": w,
+        }
+        with open(osp.join(out_dir, "hawp", f"image_{i:04d}.json"), "w") as f:
+            json.dump(wf, f)
+        intr_all.append(k)
+        pose_all.append(pose)
+
+    np.savez(
+        osp.join(out_dir, "cameras.npz"),
+        intrinsics=np.stack(intr_all).astype(np.float32),
+        extrinsics=np.stack(pose_all).astype(np.float32),
+    )
+    with open(osp.join(out_dir, "lines.json"), "w") as f:
+        json.dump({"junctions": verts.tolist(), "lines": edges.tolist()}, f)
+
+
+if __name__ == "__main__":
+    import argparse
+
+    parser = argparse.ArgumentParser(description="synthetic wireframe scene")
+    parser.add_argument("--out", required=True)
+    parser.add_argument("--views", type=int, default=12)
+    parser.add_argument("--res", type=int, default=96)
+    args = parser.parse_args()
+    generate_scene(args.out, n_views=args.views, res=(args.res, args.res))
+    print(f"wrote synthetic scene to {args.out}")
