@@ -35,7 +35,8 @@ def write_array(path: str, array: np.ndarray) -> None:
     h, w, c = arr.shape
     with open(path, "wb") as f:
         f.write(f"{w}&{h}&{c}&".encode())
-        np.transpose(arr, (1, 0, 2)).astype(np.float32).tofile(f)
+        # payload is column-major over (width, height, channels)
+        np.transpose(arr, (1, 0, 2)).astype(np.float32).ravel(order="F").tofile(f)
 
 
 def depth_to_points(
