@@ -66,13 +66,15 @@ def _weight_normalize(p: Params) -> Params:
 
 def linear_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """Apply a linear layer; supports both plain and weight-normalized
-    parameterizations."""
+    parameterizations. The weight is computed in f32 (weight-norm division
+    is precision-sensitive) and cast to the activation dtype for the
+    matmul, so bf16 activations get bf16 MXU passes."""
     if "v" in p:
         v = p["v"]
         w = p["g"][:, None] * v / jnp.linalg.norm(v, axis=1, keepdims=True)
     else:
         w = p["w"]
-    return x @ w.T + p["b"]
+    return x @ w.T.astype(x.dtype) + p["b"].astype(x.dtype)
 
 
 def _softplus100(x: jnp.ndarray) -> jnp.ndarray:
@@ -150,10 +152,23 @@ def init_implicit_net(key, cfg: ImplicitNetConfig) -> Params:
 
 
 def implicit_forward(
-    params: Params, x: jnp.ndarray, cfg: ImplicitNetConfig
+    params: Params,
+    x: jnp.ndarray,
+    cfg: ImplicitNetConfig,
+    compute_dtype=None,
 ) -> jnp.ndarray:
-    """Raw network output (..., 1 + feature_size). No sphere clamp."""
+    """Raw network output (..., 1 + feature_size). No sphere clamp.
+
+    ``compute_dtype`` (e.g. jnp.bfloat16) runs the MLP matmuls at reduced
+    precision: the positional encoding stays f32 (high-frequency bands are
+    phase-sensitive), activations are cast after it, and the result is cast
+    back. Used by the error-bounded sampler's no-grad proposal evals where
+    z-selection tolerates ~1e-3 relative error (2.7x faster on the MXU).
+    """
     inp = positional_encoding(x, cfg.multires) if cfg.multires > 0 else x
+    out_dtype = inp.dtype
+    if compute_dtype is not None:
+        inp = inp.astype(compute_dtype)
     h = inp
     n_layers = len(cfg.layer_dims())
     for l in range(n_layers - 1):
@@ -164,6 +179,8 @@ def implicit_forward(
             h = _softplus100(h)
     if cfg.inside_out:
         h = h.at[..., :1].multiply(-1.0)
+    if compute_dtype is not None:
+        h = h.astype(out_dtype)
     return h
 
 
@@ -178,9 +195,11 @@ def _clamp_sdf(sdf: jnp.ndarray, x: jnp.ndarray, cfg: ImplicitNetConfig) -> jnp.
     return sdf
 
 
-def implicit_sdf(params: Params, x: jnp.ndarray, cfg: ImplicitNetConfig) -> jnp.ndarray:
+def implicit_sdf(
+    params: Params, x: jnp.ndarray, cfg: ImplicitNetConfig, compute_dtype=None
+) -> jnp.ndarray:
     """Clamped SDF values (..., 1) (reference get_sdf_vals)."""
-    sdf = implicit_forward(params, x, cfg)[..., :1]
+    sdf = implicit_forward(params, x, cfg, compute_dtype=compute_dtype)[..., :1]
     return _clamp_sdf(sdf, x, cfg)
 
 
@@ -227,7 +246,10 @@ def implicit_gradient(
 @dataclasses.dataclass(frozen=True)
 class RenderNetConfig:
     feature_vector_size: int = 256
-    mode: str = "idr"  # 'idr' | 'nerf'
+    # 'idr' (points+view+normals+feat), 'nerf' (view+feat), or 'no_view'
+    # (points+normals+feat — the view-independent attraction variant of
+    # reference neat_wfr_rend_b.py:175-183 / neat_wfr.py:188-200)
+    mode: str = "idr"
     d_in: int = 9
     d_out: int = 3
     dims: Sequence[int] = (256,) * 4
@@ -236,7 +258,7 @@ class RenderNetConfig:
 
     def layer_dims(self) -> Tuple[int, ...]:
         d0 = self.d_in + self.feature_vector_size
-        if self.multires_view > 0:
+        if self.multires_view > 0 and self.mode != "no_view":
             d0 += encoding_dim(self.multires_view, 3) - 3
         return (d0, *self.dims, self.d_out)
 
@@ -263,6 +285,8 @@ def _idr_inputs(
     feature_vectors: jnp.ndarray,
     cfg: RenderNetConfig,
 ) -> jnp.ndarray:
+    if cfg.mode == "no_view":
+        return jnp.concatenate([points, normals, feature_vectors], axis=-1)
     if cfg.multires_view > 0:
         view_dirs = positional_encoding(view_dirs, cfg.multires_view)
     if cfg.mode == "idr":

@@ -39,6 +39,9 @@ class LossConfig:
     line_gate_px: float = 100.0
     calibrated_branch: bool = True  # False reproduces loss_wfr_a
     depth_weight: float = 0.0  # >0 adds the loss_wfr_spd depth term
+    # 'l1' (loss_wfr_spd) or 'ssi' — the scale-and-shift-invariant monodepth
+    # loss of loss_wfr_rpd.py:85-189 (per-batch closed-form scale/shift)
+    depth_loss_kind: str = "l1"
     assignment_method: str = "auction"
 
 
@@ -65,6 +68,29 @@ def _line_l1(
     denom = jnp.maximum(jnp.sum(labels), 1.0)
     total = jnp.sum(per_ray * lines_weight * labels) / denom
     return total, jax.lax.stop_gradient(per_ray)
+
+
+def scale_shift_invariant_loss(
+    pred: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray = None
+) -> jnp.ndarray:
+    """MiDaS-style scale-and-shift-invariant depth loss: solve the
+    per-batch least-squares (s, t) aligning pred to target, then MSE
+    (reference loss_wfr_rpd.py:85-189). pred, target: (N,)."""
+    if mask is None:
+        mask = jnp.ones_like(pred, dtype=bool)
+    m = mask.astype(pred.dtype)
+    n = jnp.maximum(jnp.sum(m), 1.0)
+    # closed-form 2x2 system for [s, t]
+    a00 = jnp.sum(m * pred * pred)
+    a01 = jnp.sum(m * pred)
+    a11 = n
+    b0 = jnp.sum(m * pred * target)
+    b1 = jnp.sum(m * target)
+    det = a00 * a11 - a01 * a01
+    s = jnp.where(det > 1e-9, (a11 * b0 - a01 * b1) / jnp.maximum(det, 1e-9), 1.0)
+    t = jnp.where(det > 1e-9, (-a01 * b0 + a00 * b1) / jnp.maximum(det, 1e-9), 0.0)
+    aligned = s * pred + t
+    return jnp.sum(m * (aligned - target) ** 2) / n
 
 
 def neat_loss(
@@ -126,7 +152,12 @@ def neat_loss(
         stats["l2d_loss"] = l2d_uncalib
 
     if cfg.depth_weight > 0.0 and "depth" in ground_truth:
-        depth_loss = jnp.mean(jnp.abs(outputs["depth"] - ground_truth["depth"]))
+        pred = outputs["depth"].reshape(-1)
+        gt_d = ground_truth["depth"].reshape(-1)
+        if cfg.depth_loss_kind == "ssi":
+            depth_loss = scale_shift_invariant_loss(pred, gt_d)
+        else:
+            depth_loss = jnp.mean(jnp.abs(pred - gt_d))
         loss = loss + cfg.depth_weight * depth_loss
         stats["depth_loss"] = depth_loss
 

@@ -176,11 +176,17 @@ _DATASET_CLASS_MAP = {
     "datasets.scene_line_depth_dataset.SceneDataset": "dtu",
 }
 
-# model_class -> variant flag overrides
+# model_class -> variant flag overrides (the reference's ablation model
+# family, SURVEY.md §2 C34, expressed as flags)
 _MODEL_CLASS_MAP: Dict[str, Dict[str, Any]] = {
     "model.networks.neat_wfr_rend_a.VolSDFNetwork": {},
     "model.networks.neat_wfr_rend.VolSDFNetwork": {"detach_line_weights": False},
+    "model.networks.neat_wfr_rend_b.VolSDFNetwork": {"_attraction_mode": "no_view"},
+    "model.networks.neat_wfr_rend_c.VolSDFNetwork": {},
+    "model.networks.neat_wfr.VolSDFNetwork": {"_attraction_mode": "no_view"},
+    "model.networks.neat_wfr_a.VolSDFNetwork": {"_attraction_mode": "no_view"},
     "model.networks.neat_uni.VolSDFNetwork": {"sampler_kind": "uniform"},
+    "model.networks.neat_simple.VolSDFNetwork": {"_attraction_mode": "no_view"},
     "model.network.VolSDFNetwork": {"model_variant": "volsdf"},
 }
 
@@ -188,6 +194,13 @@ _LOSS_CLASS_MAP: Dict[str, Dict[str, Any]] = {
     "model.networks.loss_wfr.VolSDFLoss": {},
     "model.networks.loss_wfr_a.VolSDFLoss": {"calibrated_branch": False},
     "model.networks.loss_wfr_spd.VolSDFLoss": {"depth_weight": 0.1},
+    "model.networks.loss_wfr_rpd.VolSDFLoss": {
+        "depth_weight": 0.1,
+        "depth_loss_kind": "ssi",
+    },
+    "model.networks.loss_wfr_unnormalize.VolSDFLoss": {},
+    "model.networks.loss_jc.VolSDFLoss": {"line_weight": 0.0},
+    "model.networks.loss_ins.VolSDFLoss": {},
     "model.loss.VolSDFLoss": {"line_weight": 0.0},
 }
 
@@ -296,7 +309,10 @@ def build_experiment_config(
     beta_min = float(den.get("beta_min", 1e-4))
 
     model_class = get_path(conf, "train.model_class", "")
-    variant_overrides = _MODEL_CLASS_MAP.get(model_class, {})
+    variant_overrides = dict(_MODEL_CLASS_MAP.get(model_class, {}))
+    attraction_mode = variant_overrides.pop("_attraction_mode", None)
+    if attraction_mode is not None:
+        attraction = dataclasses.replace(attraction, mode=attraction_mode)
 
     model = NeatConfig(
         feature_vector_size=int(m.get("feature_vector_size", 256)),

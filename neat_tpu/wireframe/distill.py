@@ -1,0 +1,121 @@
+"""Alternative wireframe distillation tools.
+
+Parity targets (reference code/evaluation/, SURVEY.md §2 C26):
+  * wireframe.py:18-237  — ``simple_recon``: per-view, per-GT-line mean of
+    the 2D-gated attraction lines, no junction snapping;
+  * wireframe-merge.py   — ``merge_wireframes``: concatenate several line
+    sets and deduplicate by bidirectional endpoint distance;
+  * nms.py               — ``nms_lines``: greedy suppression of near-
+    duplicate 3D segments;
+  * refinement.py        — ``refine_lines_sdf``: Newton-project endpoints
+    of saved lines onto the SDF zero level set.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def simple_recon(
+    params,
+    cfg,
+    scene,
+    chunksize: int = 2048,
+    dis_threshold: float = 10.0,
+    verbose: bool = False,
+) -> np.ndarray:
+    """Per-label mean distillation without junctions (reference
+    evaluation/wireframe.py). Returns (L, 2, 3) lines."""
+    from .finalize import view_field_lines
+
+    lines3d_all = []
+    for view in range(scene.n_images):
+        lines3d, lines2d, _, labels = view_field_lines(
+            params, cfg, scene, view, chunksize
+        )
+        nl = scene.n_lines[view]
+        gt = scene.lines[view][:nl][:, :4]
+        gt_per_pix = gt[labels]
+        d1 = ((lines2d - gt_per_pix) ** 2).sum(-1)
+        d2 = ((lines2d - gt_per_pix[:, [2, 3, 0, 1]]) ** 2).sum(-1)
+        is_correct = np.minimum(d1, d2) < dis_threshold
+
+        by_label: Dict[int, List[np.ndarray]] = defaultdict(list)
+        for lab in np.unique(labels[is_correct]):
+            sel = is_correct & (labels == lab)
+            by_label[int(lab)].append(lines3d[sel])
+        view_lines = [
+            np.concatenate(v).mean(axis=0) for v in by_label.values() if len(v)
+        ]
+        if view_lines:
+            lines3d_all.append(np.stack(view_lines))
+        if verbose:
+            print(f"view {view}: {len(view_lines)} lines")
+    if not lines3d_all:
+        return np.zeros((0, 2, 3), dtype=np.float32)
+    return np.concatenate(lines3d_all, axis=0)
+
+
+def line_pair_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(A, 2, 3) x (B, 2, 3) -> (A, B) endpoint-order-min mean distance."""
+    d1 = np.linalg.norm(a[:, None] - b[None], axis=-1).mean(-1)
+    d2 = np.linalg.norm(a[:, None] - b[None, :, [1, 0]], axis=-1).mean(-1)
+    return np.minimum(d1, d2)
+
+
+def nms_lines(
+    lines: np.ndarray,
+    scores: Optional[np.ndarray] = None,
+    threshold: float = 0.01,
+) -> np.ndarray:
+    """Greedy NMS over 3D segments: keep the best-scoring line of every
+    near-duplicate group (reference evaluation/nms.py)."""
+    if lines.shape[0] == 0:
+        return lines
+    scores = scores if scores is not None else np.zeros(lines.shape[0])
+    order = np.argsort(scores)  # lower score (distance) = better
+    lines_sorted = lines[order]
+    dist = line_pair_distance(lines_sorted, lines_sorted)
+    keep = np.ones(len(lines_sorted), dtype=bool)
+    for i in range(len(lines_sorted)):
+        if not keep[i]:
+            continue
+        dup = dist[i] < threshold
+        dup[: i + 1] = False
+        keep[dup] = False
+    return lines_sorted[keep]
+
+
+def merge_wireframes(
+    line_sets: List[np.ndarray], dedup_threshold: float = 0.01
+) -> np.ndarray:
+    """Concatenate line sets and deduplicate (reference
+    evaluation/wireframe-merge.py)."""
+    allx = np.concatenate([l.reshape(-1, 2, 3) for l in line_sets], axis=0)
+    return nms_lines(allx, threshold=dedup_threshold)
+
+
+def refine_lines_sdf(
+    params, cfg, lines: np.ndarray, n_steps: int = 1, keep_threshold: float = 0.05
+) -> np.ndarray:
+    """Newton-project line endpoints onto the SDF surface and drop lines
+    whose endpoints stay far from it (reference evaluation/refinement.py
+    flavor of the finalization's junction refinement)."""
+    from ..fields.mlp import implicit_sdf_feat_grad, implicit_sdf
+
+    eps = lines.reshape(-1, 3)
+    pts = jnp.asarray(eps)
+    for _ in range(n_steps):
+        sdf, _, grad = implicit_sdf_feat_grad(params["implicit"], pts, cfg.implicit)
+        pts = pts - sdf * grad
+    final_sdf = np.asarray(
+        implicit_sdf(params["implicit"], pts, cfg.implicit)
+    ).reshape(-1, 2)
+    out = np.asarray(pts).reshape(-1, 2, 3)
+    keep = (np.abs(final_sdf) < keep_threshold).all(axis=1)
+    return out[keep]
