@@ -89,6 +89,10 @@ class SceneData:
     support_idx: Optional[np.ndarray] = None  # (V, S_max) int32
     support_count: Optional[np.ndarray] = None  # (V,) int32
 
+    # optional monocular / MVS depth cues (the scene_line_depth_dataset
+    # convention, reference scene_line_depth_dataset.py:121-129)
+    depth: Optional[np.ndarray] = None  # (V, H*W) float32
+
     view_ids: Optional[np.ndarray] = None  # original image indices kept
 
     @property
@@ -232,6 +236,33 @@ def load_blender_scene(
     return scene
 
 
+def _load_depth_maps(depth_dir: str, image_paths, valid_ids, img_res):
+    """Per-view depth cues: <stem>.npy / <stem>_depth.npy / COLMAP .bin."""
+    import cv2
+
+    from ..colmap_tools.depth import read_array
+
+    h, w = img_res
+    out = []
+    for i in valid_ids:
+        stem = osp.splitext(osp.basename(image_paths[i]))[0]
+        cand = [
+            osp.join(depth_dir, stem + ".npy"),
+            osp.join(depth_dir, stem + "_depth.npy"),
+            osp.join(depth_dir, stem + ".png.geometric.bin"),
+            osp.join(depth_dir, stem + ".jpg.geometric.bin"),
+        ]
+        path = next((p for p in cand if osp.exists(p)), None)
+        if path is None:
+            raise FileNotFoundError(f"no depth cue for {stem} in {depth_dir}")
+        d = np.load(path) if path.endswith(".npy") else read_array(path)
+        d = np.asarray(d, np.float32)
+        if d.shape[:2] != (h, w):
+            d = cv2.resize(d, (w, h), interpolation=cv2.INTER_NEAREST)
+        out.append(d.reshape(-1))
+    return np.stack(out)
+
+
 def load_dtu_scene(
     data_dir: str,
     img_res: Tuple[int, int],
@@ -243,6 +274,7 @@ def load_dtu_scene(
     with_wireframes: bool = True,
     max_verts: Optional[int] = None,
     encodels_backend: str = "auto",
+    depth_dir: Optional[str] = None,
 ) -> SceneData:
     """DTU/BMVS-style scene: cameras.npz{world_mat_i, scale_mat_i},
     P = world_mat @ scale_mat -> K, cam2world (reference
@@ -310,6 +342,15 @@ def load_dtu_scene(
         ) = _pack_wireframes(
             wireframes, lines_list, tuple(img_res), distance_threshold,
             max_verts, encodels_backend,
+        )
+    if depth_dir is not None:
+        scene.depth = _load_depth_maps(
+            osp.join(instance_dir, depth_dir)
+            if not osp.isabs(depth_dir)
+            else depth_dir,
+            image_paths,
+            valid_ids,
+            tuple(img_res),
         )
     return scene
 

@@ -224,6 +224,8 @@ class ExperimentConfig:
     img_res: Tuple[int, int] = (512, 512)
     scan_id: int = -1
     distance_threshold: float = 10.0
+    line_detector: str = "hawp"
+    depth_dir: Optional[str] = None
     # plot block
     plot_nimgs: int = 1
     plot_resolution: int = 100
@@ -373,6 +375,8 @@ def build_experiment_config(
         img_res=_seq(ds.get("img_res"), (512, 512)),
         scan_id=eff_scan,
         distance_threshold=float(ds.get("distance_threshold", 10.0)),
+        line_detector=ds.get("line_detector", "hawp"),
+        depth_dir=ds.get("depth_dir"),
         plot_nimgs=int(pl.get("plot_nimgs", 1)),
         plot_resolution=int(pl.get("resolution", 100)),
         grid_boundary=_seq(pl.get("grid_boundary"), (-1.5, 1.5)),

@@ -55,6 +55,7 @@ def scene_to_device(scene: SceneData, sharding=None) -> Dict[str, jnp.ndarray]:
         "verts_mask": scene.verts_mask,
         "support_idx": scene.support_idx,
         "support_count": scene.support_count,
+        "depth": scene.depth,
     }
     arrays = {k: v for k, v in arrays.items() if v is not None}
     if sharding is not None:
@@ -81,6 +82,7 @@ class TrainRunner:
         assignment_method: str = "auction",
         seed: int = 42,
         log_every_epochs: int = 1,
+        use_tb: bool = False,
     ):
         self.cfg = load_experiment_config(
             conf,
@@ -156,6 +158,16 @@ class TrainRunner:
                 "(params + optimizer + schedule restored exactly)"
             )
 
+        # optional TensorBoard scalars (reference --use_tb, volsdf_train.py:237-242)
+        self.tb_writer = None
+        if use_tb:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.tb_writer = SummaryWriter(osp.join(self.rundir, "logs"))
+            except ImportError:
+                self.logger.warning("tensorboard unavailable; continuing without")
+
         self.scene_dev = scene_to_device(self.scene)
         self.step_fn = make_train_step(
             self.cfg.model,
@@ -177,9 +189,11 @@ class TrainRunner:
             data_root=self.data_root,
             distance_threshold=self.cfg.distance_threshold,
             max_verts=self.cfg.model.max_verts,
+            line_detector=self.cfg.line_detector,
         )
         if kind in ("dtu", "scene"):
             kwargs["scan_id"] = self.cfg.scan_id
+            kwargs["depth_dir"] = self.cfg.depth_dir
             return load_scene("dtu", **kwargs)
         if kind == "scannet":
             return load_scene(
@@ -279,6 +293,10 @@ class TrainRunner:
                     f"{self.expname} [{epoch}/{cfg.nepochs}]: {msg} "
                     f"({rays_s:,.0f} rays/s)"
                 )
+                if self.tb_writer is not None:
+                    for k, v in means.items():
+                        self.tb_writer.add_scalar(f"train/{k}", v, epoch)
+                    self.tb_writer.add_scalar("train/rays_per_sec", rays_s, epoch)
 
         self.save(cfg.nepochs)
         self.dump_junctions(cfg.nepochs)
@@ -304,7 +322,17 @@ def main(argv=None):
     parser.add_argument("--checkpoint", default="latest", type=str)
     parser.add_argument("--assignment", default="auction", choices=["auction", "callback"])
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--use_tb", default=False, action="store_true",
+                        help="TensorBoard scalar logging (reference --use_tb)")
+    parser.add_argument("--debug_nans", default=False, action="store_true",
+                        help="raise on NaN inside jitted code (replaces the "
+                        "reference's pdb NaN backward hooks)")
     args = parser.parse_args(argv)
+
+    if args.debug_nans:
+        from ..utils.profiling import enable_nan_debugging
+
+        enable_nan_debugging()
 
     runner = TrainRunner(
         conf=args.conf,
@@ -318,6 +346,7 @@ def main(argv=None):
         checkpoint=args.checkpoint,
         assignment_method=args.assignment,
         seed=args.seed,
+        use_tb=args.use_tb,
     )
     runner.run()
 

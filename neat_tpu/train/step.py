@@ -120,6 +120,8 @@ def sample_batch(
         "rgb": scene["rgb"][v, pix],
         "lines2d": scene["lines"][v, labels],  # (R, 5)
     }
+    if "depth" in scene:
+        ground_truth["depth"] = scene["depth"][v, pix]
     return inputs, ground_truth
 
 
