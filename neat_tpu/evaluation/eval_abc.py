@@ -39,10 +39,11 @@ def load_scale_mat(scan_dir: str) -> np.ndarray:
         gt = json.load(f)
     j = np.asarray(gt["junctions"])
     extent = (j.max(0) - j.min(0)).max()
-    # x_gt = x_pred * extent + (j.min + 0.5*extent)  <=>  1/scale = extent
+    # the scene trains in bbox-centered normalized coords:
+    # x_norm = (x_gt - bbox_center) / extent  =>  x_gt = x_norm*extent + center
     m = np.eye(4)
     m[0, 0] = m[1, 1] = m[2, 2] = extent
-    m[:3, 3] = j.min(0) + 0.5 * extent
+    m[:3, 3] = 0.5 * (j.min(0) + j.max(0))
     return m
 
 

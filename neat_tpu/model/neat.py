@@ -91,6 +91,11 @@ class NeatConfig:
     # evals ('bfloat16' | 'float32'); z-selection tolerates the ~1e-3
     # relative error and runs 2.7x faster. 'float32' restores strict parity.
     sampler_compute_dtype: str = "bfloat16"
+    # Pallas fused-MLP kernel for the sampler's SDF evals (VMEM-resident
+    # layer chain, ops/fused_sdf.py). Only valid for the canonical
+    # architecture and TPU backends; enable via the runner/bench, which
+    # check supports_fused_sdf + backend.
+    use_pallas_sampler: bool = False
 
     @staticmethod
     def for_abc() -> "NeatConfig":
@@ -129,12 +134,17 @@ def init_neat(key, cfg: NeatConfig) -> Params:
 
 def _sample_z(rng, ray_dirs, cam_loc, params, cfg: NeatConfig, training: bool):
     if cfg.sampler_kind == "error_bound":
-        cdtype = (
-            jnp.bfloat16 if cfg.sampler_compute_dtype == "bfloat16" else None
-        )
-        sdf_fn = lambda p: implicit_sdf(
-            params["implicit"], p, cfg.implicit, compute_dtype=cdtype
-        )[..., 0]
+        if cfg.use_pallas_sampler:
+            from ..ops.fused_sdf import fused_sdf_eval
+
+            sdf_fn = lambda p: fused_sdf_eval(params["implicit"], p, cfg.implicit)
+        else:
+            cdtype = (
+                jnp.bfloat16 if cfg.sampler_compute_dtype == "bfloat16" else None
+            )
+            sdf_fn = lambda p: implicit_sdf(
+                params["implicit"], p, cfg.implicit, compute_dtype=cdtype
+            )[..., 0]
         return error_bound_z_vals(
             rng,
             ray_dirs,

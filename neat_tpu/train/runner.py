@@ -141,6 +141,18 @@ class TrainRunner:
         self.n_rays = batch_rays or self.cfg.num_pixels
         self.decay_steps = self.cfg.nepochs * self.n_views
 
+        # auto-enable the Pallas fused sampler kernel on TPU backends for
+        # the canonical architecture
+        from ..ops.fused_sdf import supports_fused_sdf
+
+        backend = jax.devices()[0].platform.lower()
+        if supports_fused_sdf(self.cfg.model.implicit) and backend not in ("cpu",):
+            self.cfg = dataclasses.replace(
+                self.cfg,
+                model=dataclasses.replace(self.cfg.model, use_pallas_sampler=True),
+            )
+            self.logger.info("pallas fused-SDF sampler kernel enabled")
+
         # ----- model/optimizer state
         params = init_neat(jax.random.PRNGKey(seed), self.cfg.model)
         self.state = init_train_state(
