@@ -40,7 +40,14 @@ def main():
     from neat_tpu.model.loss import LossConfig
     from neat_tpu.train.step import init_train_state, make_train_step
 
+    import dataclasses
+
+    from neat_tpu.ops.fused_sdf import supports_fused_sdf
+
     cfg = NeatConfig.for_abc()
+    backend = jax.devices()[0].platform.lower()
+    if supports_fused_sdf(cfg.implicit) and backend not in ("cpu",):
+        cfg = dataclasses.replace(cfg, use_pallas_sampler=True)
     img_res = (512, 512)
     hw = img_res[0] * img_res[1]
     n_views = 4  # keep synthetic scene small; per-step work is view-count free

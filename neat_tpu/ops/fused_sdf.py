@@ -87,8 +87,7 @@ def _kernel(x_ref, *refs):
     out_ref[:] = mm(h, ws[8], bs[8])  # (TILE, 1) f32
 
 
-@partial(jax.jit, static_argnames=("cfg", "interpret"))
-def fused_sdf_eval(
+def _fused_sdf_impl(
     params,
     points: jnp.ndarray,
     cfg: ImplicitNetConfig,
@@ -142,3 +141,27 @@ def fused_sdf_eval(
         )
         sdf = jnp.minimum(sdf, sphere)
     return sdf
+
+
+# The kernel is used ONLY for the sampler's z proposals, which are
+# autodiff constants by design (the reference evaluates them under
+# torch.no_grad()). pallas_call has no linearization rule, so declare a
+# zero tangent instead of letting grad tracing fail.
+_fused_custom = jax.custom_jvp(_fused_sdf_impl, nondiff_argnums=(2, 3))
+
+
+@_fused_custom.defjvp
+def _fused_sdf_jvp(cfg, interpret, primals, tangents):
+    params, points = primals
+    out = _fused_sdf_impl(params, points, cfg, interpret)
+    return out, jnp.zeros_like(out)
+
+
+@partial(jax.jit, static_argnames=("cfg", "interpret"))
+def fused_sdf_eval(
+    params,
+    points: jnp.ndarray,
+    cfg: ImplicitNetConfig,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    return _fused_custom(params, points, cfg, interpret)
