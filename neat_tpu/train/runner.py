@@ -83,6 +83,7 @@ class TrainRunner:
         seed: int = 42,
         log_every_epochs: int = 1,
         use_tb: bool = False,
+        use_mesh: bool = False,
     ):
         self.cfg = load_experiment_config(
             conf,
@@ -180,7 +181,20 @@ class TrainRunner:
             except ImportError:
                 self.logger.warning("tensorboard unavailable; continuing without")
 
-        self.scene_dev = scene_to_device(self.scene)
+        # multi-chip: shard the per-pixel scene tables and the ray batch
+        # over a 1-D data mesh; params replicated, grads psum'd by GSPMD
+        data_sharding = None
+        mesh = None
+        if use_mesh and len(jax.devices()) > 1:
+            from ..parallel.mesh import make_mesh, ray_sharding
+
+            mesh = make_mesh()
+            data_sharding = ray_sharding(mesh)
+            self.logger.info(
+                f"data-parallel mesh over {len(mesh.devices.flat)} devices"
+            )
+        self.mesh = mesh
+        self.scene_dev = scene_to_device(self.scene, sharding=mesh)
         self.step_fn = make_train_step(
             self.cfg.model,
             self.cfg.loss,
@@ -189,6 +203,7 @@ class TrainRunner:
             self.decay_steps,
             self.n_rays,
             self.scene.img_res[1],
+            data_sharding=data_sharding,
         )
         self._epoch_fn = None
 
@@ -336,6 +351,8 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--use_tb", default=False, action="store_true",
                         help="TensorBoard scalar logging (reference --use_tb)")
+    parser.add_argument("--mesh", default=False, action="store_true",
+                        help="shard the ray batch over all visible devices")
     parser.add_argument("--debug_nans", default=False, action="store_true",
                         help="raise on NaN inside jitted code (replaces the "
                         "reference's pdb NaN backward hooks)")
@@ -359,6 +376,7 @@ def main(argv=None):
         assignment_method=args.assignment,
         seed=args.seed,
         use_tb=args.use_tb,
+        use_mesh=args.mesh,
     )
     runner.run()
 
