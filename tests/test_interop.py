@@ -1,0 +1,156 @@
+"""Round-trip test: build a torch module tree shaped like the reference
+VolSDFNetwork state dict, import it, and verify the jax forward matches a
+manual torch forward of the same MLP."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from neat_tpu.model.neat import NeatConfig  # noqa: E402
+from neat_tpu.fields.mlp import (  # noqa: E402
+    ImplicitNetConfig,
+    GlobalJunctionsConfig,
+    implicit_sdf,
+    global_junctions_forward,
+)
+from neat_tpu.interop.torch_import import reference_state_to_params  # noqa: E402
+
+
+def build_torch_state(dims, skip_in, multires, junctions=4, hidden=16):
+    """Construct a reference-shaped state dict with weight-norm params."""
+    import math
+
+    rng = np.random.RandomState(0)
+    state = {}
+    emb = 3 * (1 + 2 * multires)
+    layer_dims = [emb] + list(dims) + [1 + 16]  # feature 16
+    for l in range(len(layer_dims) - 1):
+        out_d = layer_dims[l + 1] - layer_dims[0] if (l + 1) in skip_in else layer_dims[l + 1]
+        in_d = layer_dims[l]
+        v = rng.randn(out_d, in_d).astype(np.float32) * 0.2
+        g = np.linalg.norm(v, axis=1, keepdims=True) * (1 + 0.1 * rng.rand(out_d, 1))
+        state[f"implicit_network.lin{l}.weight_v"] = torch.tensor(v)
+        state[f"implicit_network.lin{l}.weight_g"] = torch.tensor(g.astype(np.float32))
+        state[f"implicit_network.lin{l}.bias"] = torch.tensor(
+            rng.randn(out_d).astype(np.float32) * 0.01
+        )
+    # rendering net (5 linears for dims 4x16)
+    rdims = [9 + 16] + [hidden] * 4 + [3]
+    for l in range(len(rdims) - 1):
+        v = rng.randn(rdims[l + 1], rdims[l]).astype(np.float32) * 0.2
+        g = np.linalg.norm(v, axis=1, keepdims=True)
+        state[f"rendering_network.lin{l}.weight_v"] = torch.tensor(v)
+        state[f"rendering_network.lin{l}.weight_g"] = torch.tensor(g.astype(np.float32))
+        state[f"rendering_network.lin{l}.bias"] = torch.tensor(
+            rng.randn(rdims[l + 1]).astype(np.float32) * 0.01
+        )
+    # attraction (same shape but d_out 6)
+    adims = [9 + 16] + [hidden] * 4 + [6]
+    for l in range(len(adims) - 1):
+        v = rng.randn(adims[l + 1], adims[l]).astype(np.float32) * 0.2
+        g = np.linalg.norm(v, axis=1, keepdims=True)
+        state[f"attraction_network.lin{l}.weight_v"] = torch.tensor(v)
+        state[f"attraction_network.lin{l}.weight_g"] = torch.tensor(g.astype(np.float32))
+        state[f"attraction_network.lin{l}.bias"] = torch.tensor(
+            rng.randn(adims[l + 1]).astype(np.float32) * 0.01
+        )
+    state["density.beta"] = torch.tensor(np.float32(0.13))
+    state["latents"] = torch.tensor(rng.randn(junctions, hidden).astype(np.float32))
+    for i, mod in enumerate([0, 2, 4]):
+        d_out = 3 if i == 2 else hidden
+        state[f"ffn.{mod}.weight"] = torch.tensor(
+            rng.randn(d_out, hidden).astype(np.float32) * 0.2
+        )
+        state[f"ffn.{mod}.bias"] = torch.tensor(
+            rng.randn(d_out).astype(np.float32) * 0.01
+        )
+    return state
+
+
+def torch_sdf_forward(state, x, dims, skip_in, multires):
+    """Manual torch forward replicating the reference ImplicitNetwork."""
+    import torch.nn.functional as F
+
+    freqs = 2.0 ** torch.linspace(0.0, multires - 1, multires)
+    parts = [x]
+    for f in freqs:
+        parts += [torch.sin(x * f), torch.cos(x * f)]
+    # NOTE: reference order is per-frequency sin,cos — matches our embed
+    inp = torch.cat(parts, dim=-1)
+    h = inp
+    emb = inp.shape[-1]
+    layer_dims = [emb] + list(dims) + [1 + 16]
+    n_layers = len(layer_dims)
+    for l in range(n_layers - 1):
+        if l in skip_in:
+            h = torch.cat([h, inp], dim=1) / np.sqrt(2)
+        v = state[f"implicit_network.lin{l}.weight_v"]
+        g = state[f"implicit_network.lin{l}.weight_g"]
+        b = state[f"implicit_network.lin{l}.bias"]
+        w = g * v / v.norm(dim=1, keepdim=True)
+        h = h @ w.T + b
+        if l < n_layers - 2:
+            h = F.softplus(h, beta=100)
+    return h[:, 0]
+
+
+class TestTorchImport:
+    dims = (24, 24, 24, 24)
+    skip_in = (2,)
+    multires = 2
+
+    def cfg(self):
+        return NeatConfig(
+            feature_vector_size=16,
+            implicit=ImplicitNetConfig(
+                feature_vector_size=16,
+                dims=self.dims,
+                skip_in=self.skip_in,
+                multires=self.multires,
+                sdf_bounding_sphere=0.0,
+            ),
+            rendering=dataclasses_replace_render(16, 3),
+            attraction=dataclasses_replace_render(16, 6),
+            junctions=GlobalJunctionsConfig(num_junctions=4, dim_hidden=16, num_layers=2),
+        )
+
+    def test_roundtrip_sdf(self):
+        state = build_torch_state(self.dims, self.skip_in, self.multires)
+        cfg = self.cfg()
+        params = reference_state_to_params(state, cfg)
+
+        x = np.random.RandomState(1).randn(32, 3).astype(np.float32)
+        ours = np.asarray(
+            implicit_sdf(params["implicit"], jnp.asarray(x), cfg.implicit)
+        )[:, 0]
+        theirs = (
+            torch_sdf_forward(state, torch.tensor(x), self.dims, self.skip_in, self.multires)
+            .detach()
+            .numpy()
+        )
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+    def test_junctions_shape(self):
+        state = build_torch_state(self.dims, self.skip_in, self.multires)
+        cfg = self.cfg()
+        params = reference_state_to_params(state, cfg)
+        pts = global_junctions_forward(params["junctions"], cfg.junctions)
+        assert pts.shape == (4, 3)
+        assert np.isfinite(np.asarray(pts)).all()
+
+    def test_density_beta(self):
+        state = build_torch_state(self.dims, self.skip_in, self.multires)
+        params = reference_state_to_params(state, self.cfg())
+        assert np.isclose(float(params["density"].beta), 0.13)
+
+
+def dataclasses_replace_render(feat, d_out):
+    from neat_tpu.fields.mlp import RenderNetConfig
+
+    return RenderNetConfig(
+        feature_vector_size=feat, d_out=d_out, dims=(16,) * 4, multires_view=0
+    )
