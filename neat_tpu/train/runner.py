@@ -84,7 +84,9 @@ class TrainRunner:
         log_every_epochs: int = 1,
         use_tb: bool = False,
         use_mesh: bool = False,
+        do_vis: bool = False,
     ):
+        self.do_vis = do_vis
         self.cfg = load_experiment_config(
             conf,
             scan_id=scan_id,
@@ -289,14 +291,49 @@ class TrainRunner:
             osp.join(self.junctions_dir, f"{epoch}.npy"), np.asarray(pts)
         )
 
+    def plot_epoch(self, epoch: int) -> None:
+        """Render a preview view + junction snapshot figure (the reference
+        do_vis path, volsdf_train.py:302-332, headless)."""
+        from ..evaluation.render_eval import render_view
+        from ..viz.plots import plot_image_grid, plot_wireframe3d
+
+        view = epoch % self.n_views
+        out = render_view(
+            self.state.params, self.cfg.model, self.scene, view,
+            chunksize=self.cfg.split_n_pixels,
+        )
+        gt = self.scene.rgb[view].reshape(*self.scene.img_res, 3)
+        plot_image_grid(
+            osp.join(self.plots_dir, f"rendering_{epoch}_{view}.png"),
+            out["rgb"], gt, out.get("normal"),
+        )
+        if "junctions" in self.state.params:
+            pts = np.asarray(
+                global_junctions_forward(
+                    self.state.params["junctions"], self.cfg.model.junctions
+                )
+            )
+            plot_wireframe3d(
+                osp.join(self.plots_dir, f"junctions_{epoch}.png"),
+                np.zeros((0, 2, 3)), junctions=pts, title=f"epoch {epoch}",
+            )
+
     def run(self) -> None:
         self.logger.info("training...")
         cfg = self.cfg
         rng = jax.random.PRNGKey(self.seed)
+
+        # camera-rig figure once at start (reference volsdf_train.py:278-296)
+        from ..viz.plots import plot_cameras
+
+        plot_cameras(osp.join(self.plots_dir, "cameras.png"), self.scene.pose)
+
         for epoch in range(self.start_epoch, cfg.nepochs + 1):
             if epoch % cfg.checkpoint_freq == 0:
                 self.save(epoch)
                 self.dump_junctions(epoch)
+            if self.do_vis and epoch % cfg.plot_freq == 0 and epoch > 0:
+                self.plot_epoch(epoch)
 
             t0 = time.time()
             # per-step jitted calls dispatch asynchronously; metrics stay on
@@ -353,6 +390,8 @@ def main(argv=None):
                         help="TensorBoard scalar logging (reference --use_tb)")
     parser.add_argument("--mesh", default=False, action="store_true",
                         help="shard the ray batch over all visible devices")
+    parser.add_argument("--do_vis", default=False, action="store_true",
+                        help="render preview plots every plot_freq epochs")
     parser.add_argument("--debug_nans", default=False, action="store_true",
                         help="raise on NaN inside jitted code (replaces the "
                         "reference's pdb NaN backward hooks)")
@@ -377,6 +416,7 @@ def main(argv=None):
         seed=args.seed,
         use_tb=args.use_tb,
         use_mesh=args.mesh,
+        do_vis=args.do_vis,
     )
     runner.run()
 
