@@ -187,6 +187,8 @@ _MODEL_CLASS_MAP: Dict[str, Dict[str, Any]] = {
     "model.networks.neat_wfr_a.VolSDFNetwork": {"_attraction_mode": "no_view"},
     "model.networks.neat_uni.VolSDFNetwork": {"sampler_kind": "uniform"},
     "model.networks.neat_simple.VolSDFNetwork": {"_attraction_mode": "no_view"},
+    "model.neat_along_ray.VolSDFNetwork": {"_straightness": 0.01},
+    "model.networks.neat_along_ray_v2.VolSDFNetwork": {"_straightness": 0.01},
     "model.network.VolSDFNetwork": {"model_variant": "volsdf"},
 }
 
@@ -315,6 +317,7 @@ def build_experiment_config(
     attraction_mode = variant_overrides.pop("_attraction_mode", None)
     if attraction_mode is not None:
         attraction = dataclasses.replace(attraction, mode=attraction_mode)
+    straightness = variant_overrides.pop("_straightness", 0.0)
 
     model = NeatConfig(
         feature_vector_size=int(m.get("feature_vector_size", 256)),
@@ -348,6 +351,7 @@ def build_experiment_config(
             line_weight=float(lc.get("line_weight", 0.01)),
             junction_3d_weight=float(lc.get("junction_3d_weight", 0.1)),
             junction_2d_weight=float(lc.get("junction_2d_weight", 0.01)),
+            straightness_weight=float(lc.get("straightness_weight", straightness)),
             assignment_method=assignment_method,
         ),
         **loss_overrides,
