@@ -100,6 +100,48 @@ def merge_wireframes(
     return nms_lines(allx, threshold=dedup_threshold)
 
 
+def grid_distill(
+    lines: np.ndarray,
+    cell_size: float = 0.02,
+    angle_bins: int = 12,
+    min_votes: int = 2,
+) -> np.ndarray:
+    """Grid-based line aggregation (reference evaluation/dgrid.py flavor):
+    hash segments by quantized midpoint cell and direction bin, average
+    each populated cell. A coarse, junction-free consolidation useful for
+    dense multi-view line soups."""
+    if lines.shape[0] == 0:
+        return lines
+    lines = lines.reshape(-1, 2, 3)
+    mid = lines.mean(axis=1)
+    d = lines[:, 1] - lines[:, 0]
+    d = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+    # canonicalize direction hemisphere
+    flip = d[:, 0] < 0
+    d[flip] *= -1
+    cell = np.floor(mid / cell_size).astype(np.int64)
+    theta = np.arctan2(d[:, 1], d[:, 0])  # [-pi, pi]
+    phi = np.arccos(np.clip(d[:, 2], -1, 1))
+    tb = np.clip(((theta + np.pi) / (2 * np.pi) * angle_bins).astype(np.int64), 0, angle_bins - 1)
+    pb = np.clip((phi / np.pi * angle_bins).astype(np.int64), 0, angle_bins - 1)
+    key = np.stack([cell[:, 0], cell[:, 1], cell[:, 2], tb, pb], axis=1)
+    uniq, inv, counts = np.unique(key, axis=0, return_inverse=True, return_counts=True)
+    out = []
+    for k in np.nonzero(counts >= min_votes)[0]:
+        members = lines[inv == k]
+        # align endpoint order to the first member before averaging
+        ref = members[0]
+        d1 = np.linalg.norm(members - ref[None], axis=-1).sum(-1)
+        d2 = np.linalg.norm(members[:, [1, 0]] - ref[None], axis=-1).sum(-1)
+        members = np.where((d2 < d1)[:, None, None], members[:, [1, 0]], members)
+        out.append(members.mean(axis=0))
+    if not out:
+        return np.zeros((0, 2, 3), dtype=lines.dtype)
+    # quantization splits clusters that straddle cell boundaries; merge the
+    # per-cell means with an NMS pass at the cell scale
+    return nms_lines(np.stack(out), threshold=cell_size)
+
+
 def refine_lines_sdf(
     params, cfg, lines: np.ndarray, n_steps: int = 1, keep_threshold: float = 0.05
 ) -> np.ndarray:
