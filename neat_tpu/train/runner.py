@@ -392,6 +392,9 @@ def main(argv=None):
                         help="shard the ray batch over all visible devices")
     parser.add_argument("--do_vis", default=False, action="store_true",
                         help="render preview plots every plot_freq epochs")
+    parser.add_argument("--distributed", default=False, action="store_true",
+                        help="multi-host: jax.distributed.initialize() before "
+                        "building the mesh (DCN via JAX; pair with --mesh)")
     parser.add_argument("--debug_nans", default=False, action="store_true",
                         help="raise on NaN inside jitted code (replaces the "
                         "reference's pdb NaN backward hooks)")
@@ -401,6 +404,9 @@ def main(argv=None):
         from ..utils.profiling import enable_nan_debugging
 
         enable_nan_debugging()
+
+    if args.distributed:
+        jax.distributed.initialize()
 
     runner = TrainRunner(
         conf=args.conf,
