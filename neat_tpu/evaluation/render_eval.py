@@ -22,6 +22,17 @@ from ..fields.mlp import implicit_sdf
 from ..viz.mesh import sdf_to_mesh, save_ply
 
 
+def _eval_cfg(cfg: NeatConfig) -> NeatConfig:
+    """Offline rendering uses exact f32 sampling: the bf16/pallas proposal
+    path is a training-throughput trade-off that shows as banding in
+    full-image renders."""
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg, sampler_compute_dtype="float32", use_pallas_sampler=False
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def _render_chunk(params, inputs, cfg: NeatConfig, rng):
     out = neat_forward(params, inputs, cfg, rng, training=False)
@@ -32,6 +43,7 @@ def render_view(
     params, cfg: NeatConfig, scene, view: int, chunksize: int = 1024
 ) -> Dict[str, np.ndarray]:
     """Render one full view in fixed-size chunks."""
+    cfg = _eval_cfg(cfg)
     h, w = scene.img_res
     uv = scene.uv_full()
     n = uv.shape[0]

@@ -84,6 +84,16 @@ def newton_refine_junctions(
     return np.asarray(pts), np.asarray(jnp.abs(sdf2) < sdf_threshold)
 
 
+def _f32_cfg(cfg: NeatConfig) -> NeatConfig:
+    """Finalization samples with exact f32 (the bf16/pallas proposal path
+    is a training-throughput trade-off)."""
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg, sampler_compute_dtype="float32", use_pallas_sampler=False
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def _eval_chunk(params, inputs, cfg: NeatConfig, rng):
     out = neat_forward(params, inputs, cfg, rng, training=False)
@@ -102,6 +112,7 @@ def view_field_lines(
 
     Returns (lines3d (N,2,3), lines2d (N,4), l3d (N,3), labels (N,)).
     """
+    cfg = _f32_cfg(cfg)
     mask = mask_override if mask_override is not None else scene.mask[view]
     pix = np.nonzero(mask)[0]
     labels = scene.labels[view][pix]
