@@ -85,8 +85,10 @@ class TrainRunner:
         use_tb: bool = False,
         use_mesh: bool = False,
         do_vis: bool = False,
+        gitexp: bool = False,
     ):
         self.do_vis = do_vis
+        self.gitexp = gitexp
         self.cfg = load_experiment_config(
             conf,
             scan_id=scan_id,
@@ -365,6 +367,20 @@ class TrainRunner:
         self.save(cfg.nepochs)
         self.dump_junctions(cfg.nepochs)
         self.logger.info(f"Training finished after {cfg.nepochs} epochs")
+        if self.gitexp:
+            # experiment bookkeeping commits (reference --gitexp,
+            # volsdf_train.py:232-235,245-250)
+            try:
+                import sys
+
+                sys.path.insert(0, osp.join(osp.dirname(__file__), "..", ".."))
+                from tools.commit import commit_experiment
+
+                commit_experiment(
+                    self.rundir, f"experiment {self.expname}/{self.timestamp}"
+                )
+            except Exception as e:  # bookkeeping must never kill a run
+                self.logger.warning(f"gitexp commit failed: {e}")
 
 
 def main(argv=None):
@@ -392,6 +408,8 @@ def main(argv=None):
                         help="shard the ray batch over all visible devices")
     parser.add_argument("--do_vis", default=False, action="store_true",
                         help="render preview plots every plot_freq epochs")
+    parser.add_argument("--gitexp", default=False, action="store_true",
+                        help="commit runconf/train.log snapshots to git")
     parser.add_argument("--distributed", default=False, action="store_true",
                         help="multi-host: jax.distributed.initialize() before "
                         "building the mesh (DCN via JAX; pair with --mesh)")
@@ -423,6 +441,7 @@ def main(argv=None):
         use_tb=args.use_tb,
         use_mesh=args.mesh,
         do_vis=args.do_vis,
+        gitexp=args.gitexp,
     )
     runner.run()
 
