@@ -144,11 +144,19 @@ def generate_scene(
     res: Tuple[int, int] = (96, 96),
     radius: float = 2.0,
     seed: int = 0,
+    convention: str = "blender",
 ) -> None:
-    """Write images/, cameras.npz, hawp/*.json, lines.json."""
+    """Write a full synthetic scene in either data convention.
+
+    convention='blender': images/, cameras.npz{intrinsics, extrinsics},
+    hawp/, lines.json (ABC layout). convention='dtu': image/,
+    cameras.npz{world_mat_i, scale_mat_i} with world_mat = K [R|t] and an
+    identity scale_mat, hawp/, lines.json (DTU/BMVS layout).
+    """
     import imageio.v2 as imageio
 
-    os.makedirs(osp.join(out_dir, "images"), exist_ok=True)
+    img_dir = "images" if convention == "blender" else "image"
+    os.makedirs(osp.join(out_dir, img_dir), exist_ok=True)
     os.makedirs(osp.join(out_dir, "hawp"), exist_ok=True)
 
     verts, edges, faces, colors = cuboid_wireframe()
@@ -169,7 +177,7 @@ def generate_scene(
         pose = look_at_pose(cam_pos)
         img, zbuf = render_view(verts, faces, colors, k, pose, res)
         imageio.imwrite(
-            osp.join(out_dir, "images", f"image_{i:04d}.png"),
+            osp.join(out_dir, img_dir, f"image_{i:04d}.png"),
             (np.clip(img, 0, 1) * 255).astype(np.uint8),
         )
         ve, vw = visible_edges(verts, edges, k, pose, zbuf, res)
@@ -190,11 +198,21 @@ def generate_scene(
         intr_all.append(k)
         pose_all.append(pose)
 
-    np.savez(
-        osp.join(out_dir, "cameras.npz"),
-        intrinsics=np.stack(intr_all).astype(np.float32),
-        extrinsics=np.stack(pose_all).astype(np.float32),
-    )
+    if convention == "blender":
+        np.savez(
+            osp.join(out_dir, "cameras.npz"),
+            intrinsics=np.stack(intr_all).astype(np.float32),
+            extrinsics=np.stack(pose_all).astype(np.float32),
+        )
+    else:
+        cams = {}
+        for i, (ki, pose) in enumerate(zip(intr_all, pose_all)):
+            w2c = np.linalg.inv(pose)
+            p = np.eye(4)
+            p[:3] = ki @ w2c[:3]
+            cams[f"world_mat_{i}"] = p
+            cams[f"scale_mat_{i}"] = np.eye(4)
+        np.savez(osp.join(out_dir, "cameras.npz"), **cams)
     with open(osp.join(out_dir, "lines.json"), "w") as f:
         json.dump({"junctions": verts.tolist(), "lines": edges.tolist()}, f)
     # the synthetic scene trains directly in the GT frame: identity mapping
