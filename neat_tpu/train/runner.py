@@ -333,7 +333,8 @@ class TrainRunner:
         for epoch in range(self.start_epoch, cfg.nepochs + 1):
             if epoch % cfg.checkpoint_freq == 0:
                 self.save(epoch)
-                self.dump_junctions(epoch)
+            # per-epoch junction snapshot (reference volsdf_train.py:336-343)
+            self.dump_junctions(epoch)
             if self.do_vis and epoch % cfg.plot_freq == 0 and epoch > 0:
                 self.plot_epoch(epoch)
 
