@@ -55,9 +55,14 @@ def dbscan_cluster_means(
 
     def prop(state):
         it, labels, changed = state
-        # new label = min over neighbors (and self)
+        # one-hop neighbor minimum ...
         neigh_lab = jnp.where(core_adj, labels[None, :], n)
         new = jnp.minimum(labels, jnp.min(neigh_lab, axis=1))
+        # ... plus pointer jumping (label <- label[label]) so convergence is
+        # O(log diameter) instead of O(diameter): chains longer than the
+        # iteration cap would otherwise silently split
+        safe = jnp.minimum(new, n - 1)
+        new = jnp.minimum(new, jnp.where(new < n, labels[safe], n))
         return it + 1, new, jnp.any(new != labels)
 
     def cond(state):

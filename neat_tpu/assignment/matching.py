@@ -102,6 +102,10 @@ def auction_assignment(
         value = benefit - prices[None, :]  # (R, C)
         best_j = jnp.argmax(value, axis=1)
         best_v = jnp.max(value, axis=1)
+        # a row whose best option is a dead column must not bid at all —
+        # otherwise it would "win" a masked column (and the -_BIG benefit
+        # would blow up the price scale)
+        active = active & (best_v > -_BIG / 2)
         value2 = value.at[row_ids, best_j].set(-jnp.inf)
         second_v = jnp.max(value2, axis=1)
         bid = prices[best_j] + (best_v - second_v) + eps_val
@@ -138,7 +142,8 @@ def auction_assignment(
         jnp.full((n_rows,), -1, dtype=jnp.int32),
     )
     _, _, _, col_of_row = jax.lax.while_loop(cond, body, init)
-    valid = row_mask & (col_of_row >= 0)
+    safe_col = jnp.where(col_of_row >= 0, col_of_row, 0)
+    valid = row_mask & (col_of_row >= 0) & col_mask[safe_col]
     return jnp.where(valid, col_of_row, 0).astype(jnp.int32), valid
 
 

@@ -344,18 +344,9 @@ def error_bound_z_vals(
             )
 
     # final draw from the rendering weights (reference ray_sampler.py:218-249)
-    pdf = weights[..., :-1] + 1e-5
-    pdf = pdf / jnp.sum(pdf, axis=-1, keepdims=True)
-    cdf = jnp.cumsum(pdf, axis=-1)
-    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
-    if training:
-        u = jax.random.uniform(r_final, (n_rays, cfg.n_samples), dtype=dtype)
-    else:
-        u = jnp.broadcast_to(
-            jnp.linspace(0.0, 1.0, cfg.n_samples, dtype=dtype),
-            (n_rays, cfg.n_samples),
-        )
-    z_samples = _invert_cdf(z_vals, cdf, u)
+    z_samples = sample_pdf(
+        r_final, z_vals, weights[..., :-1], cfg.n_samples, det=not training
+    )
 
     near = jnp.full((n_rays, 1), cfg.near, dtype=dtype)
     if cfg.inverse_sphere_bg:

@@ -92,9 +92,13 @@ def parse_hocon(text: str) -> Dict[str, Any]:
                     pending_key = None
                     line = line[1:].strip()
                     continue
-                else:
-                    # bare key on its own line followed by { later
-                    break
+                # a bare token must be a block header whose '{' opens the
+                # next line; anything else is a malformed conf — fail loudly
+                # rather than silently dropping this line
+                raise ValueError(
+                    f"bare key {pending_key!r} not followed by a block; "
+                    f"offending line: {raw!r}"
+                )
             m = re.match(r"^([A-Za-z0-9_.\-]+)\s*\{", line)
             if m:
                 new = {}

@@ -12,10 +12,11 @@ exp_runner.py). Same experiment-directory contract:
         junctions/{epoch}.npy   decoded global-junction point clouds
         plots/                  rendered previews / camera figures
 
-TPU redesign of the loop: an epoch (= n_views steps of 1024 rays, matching
-the reference's one-view-per-step DataLoader) is a single jitted lax.scan,
-so the host syncs once per epoch instead of once per step. The BlendedMVS
-200k-iteration rule (volsdf_train.py:152-153) is preserved.
+TPU redesign of the loop: the jitted step dispatches asynchronously and
+metrics stay on device until the end of the epoch (= n_views steps of 1024
+rays, matching the reference's one-view-per-step DataLoader), so the chip
+never stalls on the host. The BlendedMVS 200k-iteration rule
+(volsdf_train.py:152-153) is preserved.
 """
 
 from __future__ import annotations
@@ -209,7 +210,6 @@ class TrainRunner:
             self.scene.img_res[1],
             data_sharding=data_sharding,
         )
-        self._epoch_fn = None
 
     # ------------------------------------------------------------------
     def _load_scene(self) -> SceneData:
@@ -256,30 +256,6 @@ class TrainRunner:
         return logger
 
     # ------------------------------------------------------------------
-    def epoch_fn(self):
-        """One epoch (= n_views steps) as a single jitted lax.scan."""
-        if self._epoch_fn is not None:
-            return self._epoch_fn
-
-        from .step import make_train_step as _mts
-
-        inner = _mts(
-            self.cfg.model,
-            self.cfg.loss,
-            self.cfg.learning_rate,
-            self.cfg.sched_decay_rate,
-            self.decay_steps,
-            self.n_rays,
-            self.scene.img_res[1],
-            donate=False,
-        )
-
-        def run_epoch(state, scene, rngs):
-            return jax.lax.scan(lambda s, r: inner(s, scene, r), state, rngs)
-
-        self._epoch_fn = jax.jit(run_epoch, donate_argnums=(0,))
-        return self._epoch_fn
-
     def save(self, epoch: int) -> None:
         save_checkpoint(self.ckpt_dir, self.state, epoch)
 

@@ -165,6 +165,27 @@ class TestAssignment:
         c = np.asarray(col)[v]
         assert len(set(c.tolist())) == 4
 
+    def test_dead_columns_never_matched(self):
+        """Regression: rows must not come back valid matched to masked
+        columns when live columns are scarce."""
+        from neat_tpu.assignment import masked_assignment
+
+        rng = np.random.RandomState(4)
+        cost = rng.rand(8, 6).astype(np.float32)
+        # zero live columns
+        col, valid = masked_assignment(
+            jnp.asarray(cost),
+            col_mask=jnp.zeros((6,), dtype=bool),
+            method="auction",
+        )
+        assert not np.asarray(valid).any()
+        # one live column -> exactly one valid row, matched to it
+        cm = jnp.asarray([False, False, True, False, False, False])
+        col, valid = masked_assignment(jnp.asarray(cost), col_mask=cm, method="auction")
+        v = np.asarray(valid)
+        assert v.sum() == 1
+        assert np.asarray(col)[v][0] == 2
+
 
 class TestClustering:
     def test_two_clusters_and_noise(self):
@@ -188,6 +209,21 @@ class TestClustering:
         reps = np.nonzero(v)[0]
         np.testing.assert_allclose(m[reps[0]], pts[:3].mean(0), atol=1e-5)
         np.testing.assert_allclose(m[reps[1]], pts[3:5].mean(0), atol=1e-5)
+
+    def test_long_chain_single_cluster(self):
+        """Regression: a chain whose graph diameter exceeds the iteration
+        cap must still collapse to one cluster (pointer jumping)."""
+        from neat_tpu.assignment import dbscan_cluster_means
+        import jax.numpy as jnp
+
+        pts = np.zeros((200, 3), dtype=np.float32)
+        pts[:, 0] = np.arange(200) * 0.009  # eps 0.01 chain, diameter 199
+        means, valid = dbscan_cluster_means(jnp.asarray(pts), eps=0.01)
+        v = np.asarray(valid)
+        assert v.sum() == 1
+        np.testing.assert_allclose(
+            np.asarray(means)[v][0], pts.mean(0), atol=1e-4
+        )
 
     def test_matches_sklearn(self):
         from neat_tpu.assignment import dbscan_cluster_means
