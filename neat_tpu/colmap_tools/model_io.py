@@ -142,8 +142,14 @@ def _read_cameras_text(path) -> Dict[int, Camera]:
 def _read_images_text(path) -> Dict[int, Image]:
     out = {}
     with open(path) as f:
-        lines = [l.strip() for l in f if l.strip() and not l.startswith("#")]
-    for i in range(0, len(lines), 2):
+        # keep blank lines: an image with zero 2D observations has an empty
+        # second line, which must still consume its slot in the 2-line pairing
+        lines = [l.strip() for l in f if not l.startswith("#")]
+    i = 0
+    while i < len(lines):
+        if not lines[i]:
+            i += 1
+            continue
         el = lines[i].split()
         pts = lines[i + 1].split() if i + 1 < len(lines) else []
         xys = np.asarray([float(x) for x in pts]).reshape(-1, 3)
@@ -156,6 +162,7 @@ def _read_images_text(path) -> Dict[int, Image]:
             xys=xys[:, :2],
             point3D_ids=xys[:, 2].astype(np.int64),
         )
+        i += 2
     return out
 
 

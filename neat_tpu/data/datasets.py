@@ -84,6 +84,11 @@ class SceneData:
     uv_proj: Optional[np.ndarray] = None  # (V, H*W, 2) float32
     lines: Optional[np.ndarray] = None  # (V, L_max, 5) float32 padded
     n_lines: Optional[np.ndarray] = None  # (V,) int32
+    # low-threshold (0.01) line set: finalization matches rendered lines
+    # against this wider set (reference neat-final-parsing.py:235 uses
+    # line_segments(0.01) while training supervision uses 0.05)
+    lines_lo: Optional[np.ndarray] = None  # (V, L_lo_max, 5) float32 padded
+    n_lines_lo: Optional[np.ndarray] = None  # (V,) int32
     verts2d: Optional[np.ndarray] = None  # (V, V_max, 2) float32 padded
     verts_mask: Optional[np.ndarray] = None  # (V, V_max) bool
     support_idx: Optional[np.ndarray] = None  # (V, S_max) int32
@@ -109,6 +114,18 @@ class SceneData:
         h, w = self.img_res
         ys, xs = np.mgrid[0:h, 0:w]
         return np.stack([xs, ys], axis=-1).reshape(-1, 2).astype(np.float32)
+
+
+def _pack_lines(lines_list: List[np.ndarray]):
+    """Pad a per-view list of (L_i, 5) line arrays to (V, L_max, 5)."""
+    v = len(lines_list)
+    l_max = max(max(ln.shape[0] for ln in lines_list), 1)
+    out = np.zeros((v, l_max, 5), dtype=np.float32)
+    counts = np.zeros((v,), dtype=np.int32)
+    for i, ln in enumerate(lines_list):
+        out[i, : ln.shape[0]] = ln
+        counts[i] = ln.shape[0]
+    return out, counts
 
 
 def _pack_wireframes(
@@ -233,6 +250,9 @@ def load_blender_scene(
             wireframes, lines_list, tuple(img_res), distance_threshold,
             max_verts, encodels_backend,
         )
+        scene.lines_lo, scene.n_lines_lo = _pack_lines(
+            [wf.line_segments(0.01) for wf in wireframes]
+        )
     return scene
 
 
@@ -342,6 +362,9 @@ def load_dtu_scene(
         ) = _pack_wireframes(
             wireframes, lines_list, tuple(img_res), distance_threshold,
             max_verts, encodels_backend,
+        )
+        scene.lines_lo, scene.n_lines_lo = _pack_lines(
+            [wf.line_segments(0.01) for wf in wireframes]
         )
     if depth_dir is not None:
         scene.depth = _load_depth_maps(

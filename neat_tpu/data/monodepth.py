@@ -48,36 +48,58 @@ def _try_transformers_dpt():
 
 def run(image_dir: str, out_dir: str, task: str = "depth") -> int:
     os.makedirs(out_dir, exist_ok=True)
-    backend = _try_omnidata(task) or _try_transformers_dpt()
+    backend = _try_omnidata(task)
+    if backend is None and task == "depth":
+        backend = _try_transformers_dpt()
     if backend is None:
+        extra = "" if task == "depth" else " (surface normals require omnidata)"
         raise SystemExit(
             "No monocular-cue backend available: install omnidata (the "
-            "reference's dependency) or provide a local transformers DPT "
-            "cache. Depth cues are optional — training without them uses "
-            "the standard NEAT losses."
+            "reference's dependency) or, for depth, provide a local "
+            f"transformers DPT cache{extra}. Cues are optional — training "
+            "without them uses the standard NEAT losses."
         )
     images = sorted(
         p for ext in ("*.png", "*.jpg") for p in glob.glob(osp.join(image_dir, ext))
     )
+    import imageio.v2 as imageio
+
     if backend == "omnidata":
-        from omnidata_tools.torch.modules.midas.dpt_depth import DPTDepthModel
         import torch
 
-        model = DPTDepthModel(backbone="vitb_rn50_384")
-        ckpt = os.environ.get("OMNIDATA_WEIGHTS", "omnidata_dpt_depth_v2.ckpt")
+        if task == "depth":
+            from omnidata_tools.torch.modules.midas.dpt_depth import DPTDepthModel
+
+            model = DPTDepthModel(backbone="vitb_rn50_384")
+            default_w = "omnidata_dpt_depth_v2.ckpt"
+        else:
+            from omnidata_tools.torch.modules.midas.dpt_depth import DPTDepthModel
+
+            model = DPTDepthModel(backbone="vitb_rn50_384", num_channels=3)
+            default_w = "omnidata_dpt_normal_v2.ckpt"
+        ckpt = os.environ.get("OMNIDATA_WEIGHTS", default_w)
         state = torch.load(ckpt, map_location="cpu")
         model.load_state_dict(state.get("state_dict", state))
         model.eval()
-        import imageio.v2 as imageio
-
+        suffix = "_depth.npy" if task == "depth" else "_normal.npy"
         for p in images:
             img = imageio.imread(p).astype(np.float32) / 255.0
             with torch.no_grad():
                 t = torch.from_numpy(img).permute(2, 0, 1)[None]
-                depth = model(t)[0].numpy()
-            np.save(osp.join(out_dir, osp.splitext(osp.basename(p))[0] + "_depth.npy"), depth)
-    else:
-        raise SystemExit("transformers DPT path requires a local model cache")
+                out = model(t)[0].numpy()
+            np.save(osp.join(out_dir, osp.splitext(osp.basename(p))[0] + suffix), out)
+    else:  # transformers DPT depth from the local cache
+        from transformers import pipeline
+
+        pipe = pipeline("depth-estimation", device=-1)
+        from PIL import Image as PILImage
+
+        for p in images:
+            depth = np.asarray(pipe(PILImage.open(p))["predicted_depth"])
+            np.save(
+                osp.join(out_dir, osp.splitext(osp.basename(p))[0] + "_depth.npy"),
+                depth.squeeze(),
+            )
     return len(images)
 
 

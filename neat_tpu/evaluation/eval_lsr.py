@@ -95,10 +95,17 @@ def main(argv=None):
     parser.add_argument("--dataset_dir", type=str, required=True)
     parser.add_argument("--mode", choices=["junctions", "lines"], default="lines")
     parser.add_argument("--no-masks", action="store_true", help="BMVS/ScanNet style")
+    parser.add_argument(
+        "--cameras", type=str, default=None,
+        help="scene cameras.npz: applies scale_mat_0 to map normalized "
+        "predictions into the GT frame (reference eval-lsr-dtu.py:50-80)",
+    )
     args = parser.parse_args(argv)
 
     stl, _ = load_ply(f"{args.dataset_dir}/Points/stl/stl{args.scan:03}_total.ply")
     kwargs = {}
+    if args.cameras:
+        kwargs["scale_mat"] = np.load(args.cameras)["scale_mat_0"]
     if not args.no_masks:
         mat = loadmat(f"{args.dataset_dir}/ObsMask/ObsMask{args.scan}_10.mat")
         kwargs = dict(

@@ -17,20 +17,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..model.neat import NeatConfig, neat_forward
+from ..model.neat import NeatConfig, neat_forward, offline_eval_config
 from ..fields.mlp import implicit_sdf
 from ..viz.mesh import sdf_to_mesh, save_ply
-
-
-def _eval_cfg(cfg: NeatConfig) -> NeatConfig:
-    """Offline rendering uses exact f32 sampling: the bf16/pallas proposal
-    path is a training-throughput trade-off that shows as banding in
-    full-image renders."""
-    import dataclasses
-
-    return dataclasses.replace(
-        cfg, sampler_compute_dtype="float32", use_pallas_sampler=False
-    )
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -43,7 +32,7 @@ def render_view(
     params, cfg: NeatConfig, scene, view: int, chunksize: int = 1024
 ) -> Dict[str, np.ndarray]:
     """Render one full view in fixed-size chunks."""
-    cfg = _eval_cfg(cfg)
+    cfg = offline_eval_config(cfg)
     h, w = scene.img_res
     uv = scene.uv_full()
     n = uv.shape[0]
@@ -161,7 +150,7 @@ def main(argv=None):
     kind = cfg.dataset_kind
     kwargs = dict(
         data_dir=cfg.data_dir, img_res=cfg.img_res, data_root=args.data_root,
-        max_verts=cfg.model.max_verts,
+        max_verts=cfg.model.max_verts, line_detector=cfg.line_detector,
     )
     if kind in ("dtu", "scene"):
         kwargs["scan_id"] = cfg.scan_id

@@ -119,6 +119,15 @@ class NeatConfig:
         )
 
 
+def offline_eval_config(cfg: NeatConfig) -> NeatConfig:
+    """Exact-f32 variant for offline rendering / finalization: the
+    bf16/pallas proposal path is a training-throughput trade-off that shows
+    as banding in full-image renders."""
+    return dataclasses.replace(
+        cfg, sampler_compute_dtype="float32", use_pallas_sampler=False
+    )
+
+
 def init_neat(key, cfg: NeatConfig) -> Params:
     k1, k2, k3, k4 = jax.random.split(key, 4)
     params: Params = {

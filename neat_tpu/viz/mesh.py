@@ -211,7 +211,13 @@ def load_ply(path: str) -> Tuple[np.ndarray, np.ndarray]:
                 break
         n_vert = n_face = 0
         fmt = "ascii"
-        props = []
+        props = []  # (name, numpy dtype string) per vertex property
+        _PLY_TYPES = {
+            "char": "i1", "int8": "i1", "uchar": "u1", "uint8": "u1",
+            "short": "i2", "int16": "i2", "ushort": "u2", "uint16": "u2",
+            "int": "i4", "int32": "i4", "uint": "u4", "uint32": "u4",
+            "float": "f4", "float32": "f4", "double": "f8", "float64": "f8",
+        }
         elem = None
         for line in header:
             parts = line.split()
@@ -226,7 +232,7 @@ def load_ply(path: str) -> Tuple[np.ndarray, np.ndarray]:
                 elif elem == "face":
                     n_face = int(parts[2])
             elif parts[0] == "property" and elem == "vertex":
-                props.append(parts[-1])
+                props.append((parts[-1], _PLY_TYPES.get(parts[1], "f4")))
         if fmt == "ascii":
             verts = np.loadtxt(
                 [f.readline() for _ in range(n_vert)], dtype=np.float32
@@ -237,11 +243,13 @@ def load_ply(path: str) -> Tuple[np.ndarray, np.ndarray]:
                 faces.append([int(x) for x in parts[1:4]])
             return verts, np.asarray(faces, dtype=np.int64).reshape(-1, 3)
         else:
-            n_props = len(props)
-            data = np.frombuffer(
-                f.read(n_vert * n_props * 4), dtype="<f4"
-            ).reshape(n_vert, n_props)
-            verts = data[:, :3].copy()
+            # honor per-property dtypes (uchar colors, double coords, ...)
+            rec = np.dtype([(name, "<" + t) for name, t in props])
+            data = np.frombuffer(f.read(n_vert * rec.itemsize), dtype=rec)
+            names = [name for name, _ in props]
+            verts = np.stack(
+                [data[names[i]].astype(np.float32) for i in range(3)], axis=1
+            )
             faces = np.zeros((n_face, 3), dtype=np.int64)
             for i in range(n_face):
                 cnt = np.frombuffer(f.read(1), dtype=np.uint8)[0]

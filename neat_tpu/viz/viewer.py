@@ -18,21 +18,45 @@ from typing import Optional
 import numpy as np
 
 
-def pose_spherical(theta: float, phi: float, radius: float) -> np.ndarray:
+def pose_spherical(psi: float, theta: float, phi: float, radius: float) -> np.ndarray:
     """Spherical camera pose (reference visualization/show.py:54-66):
-    azimuth theta (deg), elevation phi (deg), distance radius -> cam2world."""
-    trans = np.eye(4)
-    trans[2, 3] = radius
-    rot_phi = np.eye(4)
-    p = math.radians(phi)
-    rot_phi[1, 1], rot_phi[1, 2] = math.cos(p), -math.sin(p)
-    rot_phi[2, 1], rot_phi[2, 2] = math.sin(p), math.cos(p)
-    rot_theta = np.eye(4)
-    t = math.radians(theta)
-    rot_theta[0, 0], rot_theta[0, 2] = math.cos(t), -math.sin(t)
-    rot_theta[2, 0], rot_theta[2, 2] = math.sin(t), math.cos(t)
-    c2w = rot_theta @ rot_phi @ trans
-    return c2w
+    rotations psi/theta/phi in degrees, distance radius -> cam2world,
+    including the reference's final world-axis permutation. Used for
+    reproducing the reference's turntable trajectories against rendered
+    views (the matplotlib turntable below drives view_init directly)."""
+
+    def trans_t(t):
+        m = np.eye(4, dtype=np.float32)
+        m[2, 3] = t
+        return m
+
+    def rot_phi(p):
+        m = np.eye(4, dtype=np.float32)
+        m[1, 1], m[1, 2] = math.cos(p), -math.sin(p)
+        m[2, 1], m[2, 2] = math.sin(p), math.cos(p)
+        return m
+
+    def rot_theta(t):
+        m = np.eye(4, dtype=np.float32)
+        m[0, 0], m[0, 2] = math.cos(t), -math.sin(t)
+        m[2, 0], m[2, 2] = math.sin(t), math.cos(t)
+        return m
+
+    def rot_psi(s):
+        m = np.eye(4, dtype=np.float32)
+        m[0, 0], m[0, 1] = math.cos(s), -math.sin(s)
+        m[1, 0], m[1, 1] = math.sin(s), math.cos(s)
+        return m
+
+    c2w = trans_t(radius)
+    c2w = rot_phi(math.radians(phi)) @ c2w
+    c2w = rot_theta(math.radians(theta)) @ c2w
+    c2w = rot_psi(math.radians(psi)) @ c2w
+    flip = np.array(
+        [[0, 0, -1, 0], [1, 0, 0, 0], [0, -1, 0, 0], [0, 0, 0, 1]],
+        dtype=np.float32,
+    )
+    return flip @ c2w
 
 
 def render_turntable(

@@ -42,7 +42,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..model.neat import NeatConfig, neat_forward
+from ..model.neat import NeatConfig, neat_forward, offline_eval_config
 from ..fields.mlp import (
     global_junctions_forward,
     implicit_sdf,
@@ -84,16 +84,6 @@ def newton_refine_junctions(
     return np.asarray(pts), np.asarray(jnp.abs(sdf2) < sdf_threshold)
 
 
-def _f32_cfg(cfg: NeatConfig) -> NeatConfig:
-    """Finalization samples with exact f32 (the bf16/pallas proposal path
-    is a training-throughput trade-off)."""
-    import dataclasses
-
-    return dataclasses.replace(
-        cfg, sampler_compute_dtype="float32", use_pallas_sampler=False
-    )
-
-
 @partial(jax.jit, static_argnames=("cfg",))
 def _eval_chunk(params, inputs, cfg: NeatConfig, rng):
     out = neat_forward(params, inputs, cfg, rng, training=False)
@@ -112,7 +102,7 @@ def view_field_lines(
 
     Returns (lines3d (N,2,3), lines2d (N,4), l3d (N,3), labels (N,)).
     """
-    cfg = _f32_cfg(cfg)
+    cfg = offline_eval_config(cfg)
     mask = mask_override if mask_override is not None else scene.mask[view]
     pix = np.nonzero(mask)[0]
     labels = scene.labels[view][pix]
@@ -215,8 +205,14 @@ def initial_recon(
         lines2d = np.concatenate([lines2d, lines2d[:, [2, 3, 0, 1]]], axis=0)
         points3d = np.concatenate([l3d, l3d], axis=0)
 
-        nl = scene.n_lines[view]
-        gt5 = scene.lines[view][:nl]
+        # match against the wide 0.01-threshold detection set (reference
+        # neat-final-parsing.py:235), not the 0.05 training set
+        if scene.lines_lo is not None:
+            nl = scene.n_lines_lo[view]
+            gt5 = scene.lines_lo[view][:nl]
+        else:
+            nl = scene.n_lines[view]
+            gt5 = scene.lines[view][:nl]
         gt_lines = gt5[gt5[:, 4] > gt_line_threshold][:, :4]
         if gt_lines.shape[0] == 0:
             continue
@@ -372,6 +368,7 @@ def wireframe_recon(
         data_root=data_root,
         distance_threshold=1.0,
         max_verts=cfg.model.max_verts,
+        line_detector=cfg.line_detector,
     )
     if kind in ("dtu", "scene"):
         kwargs["scan_id"] = cfg.scan_id

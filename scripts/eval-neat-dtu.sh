@@ -13,12 +13,13 @@ python -m neat_tpu.wireframe.finalize \
     --ckview 5 --ckdist 100
 
 WFC=$(ls -t "$RUNDIR"/wireframes/*-wfi_checked.npz | head -1)
+CAMS="$DATA_ROOT/DTU/scan$SCAN/cameras.npz"
 echo "== junction ACC/COMP =="
 python -m neat_tpu.evaluation.eval_lsr --mode junctions \
-    --data "$WFC" --scan "$SCAN" --dataset_dir "$DTU_EVAL"
+    --data "$WFC" --scan "$SCAN" --dataset_dir "$DTU_EVAL" --cameras "$CAMS"
 echo "== line ACC/COMP (32-pt resampling) =="
 python -m neat_tpu.evaluation.eval_lsr --mode lines \
-    --data "$WFC" --scan "$SCAN" --dataset_dir "$DTU_EVAL"
+    --data "$WFC" --scan "$SCAN" --dataset_dir "$DTU_EVAL" --cameras "$CAMS"
 
 echo "== surface ACC/COMP =="
 python -m neat_tpu.evaluation.render_eval \
