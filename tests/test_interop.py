@@ -148,6 +148,77 @@ class TestTorchImport:
         assert np.isclose(float(params["density"].beta), 0.13)
 
 
+class TestConvertCli:
+    def test_pth_to_rundir(self, tmp_path):
+        """Full CLI path: torch .pth -> run dir consumable by load_checkpoint."""
+        from neat_tpu.interop.convert_checkpoint import main as convert_main
+        from neat_tpu.train.checkpoint import load_checkpoint
+
+        state = build_torch_state((24,) * 4, (2,), 2)
+        pth = tmp_path / "500.pth"
+        torch.save({"epoch": 500, "model_state_dict": state}, pth)
+
+        conf = tmp_path / "test.conf"
+        conf.write_text(
+            """
+train {
+    expname = imported
+    model_class = model.networks.neat_wfr_rend_a.VolSDFNetwork
+    dataset_class = datasets.blender_hawp_dataset.BlenderDataset
+    loss_class = model.networks.loss_wfr.VolSDFLoss
+    learning_rate = 5.0e-4
+}
+dataset {
+    data_dir = x
+    img_res = [48, 48]
+}
+model {
+    feature_vector_size = 16
+    scene_bounding_sphere = 3.0
+    global_junctions {
+        num_junctions = 4
+        num_layers = 2
+        dim_hidden = 16
+    }
+    implicit_network {
+        d_in = 3
+        d_out = 1
+        dims = [24, 24, 24, 24]
+        skip_in = [2]
+        multires = 2
+    }
+    attraction_network {
+        d_in = 9
+        d_out = 6
+        dims = [16, 16, 16, 16]
+    }
+    rendering_network {
+        d_in = 9
+        d_out = 3
+        dims = [16, 16, 16, 16]
+    }
+    density {
+        params_init { beta = 0.1 }
+    }
+    ray_sampler {
+        near = 0.0
+        N_samples = 8
+        N_samples_eval = 16
+        N_samples_extra = 4
+    }
+}
+"""
+        )
+        out = tmp_path / "rundir"
+        convert_main([
+            "--pth", str(pth), "--conf", str(conf), "--out", str(out)
+        ])
+        state2, epoch = load_checkpoint(str(out / "checkpoints"), "latest")
+        assert epoch == 500
+        assert np.isclose(float(state2.params["density"].beta), 0.13)
+        assert (out / "runconf.conf").exists()
+
+
 def dataclasses_replace_render(feat, d_out):
     from neat_tpu.fields.mlp import RenderNetConfig
 
