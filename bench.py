@@ -46,7 +46,7 @@ def main():
 
     cfg = NeatConfig.for_abc()
     backend = jax.devices()[0].platform.lower()
-    if supports_fused_sdf(cfg.implicit) and backend not in ("cpu",):
+    if supports_fused_sdf(cfg.implicit) and backend in ("tpu", "axon"):
         cfg = dataclasses.replace(cfg, use_pallas_sampler=True)
     img_res = (512, 512)
     hw = img_res[0] * img_res[1]

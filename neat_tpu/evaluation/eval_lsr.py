@@ -108,7 +108,7 @@ def main(argv=None):
         kwargs["scale_mat"] = np.load(args.cameras)["scale_mat_0"]
     if not args.no_masks:
         mat = loadmat(f"{args.dataset_dir}/ObsMask/ObsMask{args.scan}_10.mat")
-        kwargs = dict(
+        kwargs.update(
             obs_mask=mat["ObsMask"], bb=mat["BB"], res=float(mat["Res"]),
             ground_plane=loadmat(f"{args.dataset_dir}/ObsMask/Plane{args.scan}.mat")[
                 "P"

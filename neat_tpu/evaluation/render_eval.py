@@ -31,7 +31,10 @@ def _render_chunk(params, inputs, cfg: NeatConfig, rng):
 def render_view(
     params, cfg: NeatConfig, scene, view: int, chunksize: int = 1024
 ) -> Dict[str, np.ndarray]:
-    """Render one full view in fixed-size chunks."""
+    """Render one full view in fixed-size chunks (reference eval.py's
+    split_input/merge_output flow)."""
+    from ..utils.chunking import split_input, merge_output
+
     cfg = offline_eval_config(cfg)
     h, w = scene.img_res
     uv = scene.uv_full()
@@ -42,29 +45,30 @@ def render_view(
     dummy_vmask = jnp.zeros((1,), dtype=bool)
     rng = jax.random.PRNGKey(0)
 
-    rgb_out = np.zeros((n, 3), dtype=np.float32)
-    normal_out = np.zeros((n, 3), dtype=np.float32)
-    depth_out = np.zeros((n,), dtype=np.float32)
-    for c0 in range(0, n, chunksize):
-        c1 = min(c0 + chunksize, n)
-        pad = chunksize - (c1 - c0)
-        uv_c = np.pad(uv[c0:c1], ((0, pad), (0, 0)), mode="edge")
+    res = []
+    for chunk in split_input({"uv": uv, "uv_proj": uv}, n, n_pixels=chunksize):
         inputs = {
-            "uv": jnp.asarray(uv_c),
-            "uv_proj": jnp.asarray(uv_c),
+            "uv": jnp.asarray(chunk["uv"]),
+            "uv_proj": jnp.asarray(chunk["uv_proj"]),
             "intrinsics": intr,
             "pose": pose,
             "verts2d": dummy_verts,
             "verts_mask": dummy_vmask,
         }
         rgb, nrm, dep = _render_chunk(params, inputs, cfg, rng)
-        rgb_out[c0:c1] = np.asarray(rgb)[: c1 - c0]
-        normal_out[c0:c1] = np.asarray(nrm)[: c1 - c0]
-        depth_out[c0:c1] = np.asarray(dep)[: c1 - c0]
+        res.append(
+            {
+                "rgb": np.asarray(rgb),
+                "normal": np.asarray(nrm),
+                "depth": np.asarray(dep),
+                "_valid": chunk["_valid"],
+            }
+        )
+    merged = merge_output(res, n)
     return {
-        "rgb": rgb_out.reshape(h, w, 3),
-        "normal": normal_out.reshape(h, w, 3),
-        "depth": depth_out.reshape(h, w),
+        "rgb": merged["rgb"].reshape(h, w, 3),
+        "normal": merged["normal"].reshape(h, w, 3),
+        "depth": merged["depth"].reshape(h, w),
     }
 
 

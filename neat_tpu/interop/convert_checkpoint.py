@@ -21,21 +21,22 @@ def main(argv=None):
     parser.add_argument("--epoch", type=int, default=None, help="override epoch tag")
     args = parser.parse_args(argv)
 
+    import torch
+
     from ..train.config import load_experiment_config
     from ..train.step import init_train_state
     from ..train.checkpoint import save_checkpoint
-    from .torch_import import import_reference_checkpoint
+    from .torch_import import reference_state_to_params
 
     cfg = load_experiment_config(args.conf)
-    params = import_reference_checkpoint(args.pth, cfg.model)
+    payload = torch.load(args.pth, map_location="cpu", weights_only=False)
+    state_dict = payload.get("model_state_dict", payload)
+    params = reference_state_to_params(state_dict, cfg.model)
     state = init_train_state(params, cfg.learning_rate, cfg.sched_decay_rate, 1)
 
     epoch = args.epoch
     if epoch is None:
-        import torch
-
-        payload = torch.load(args.pth, map_location="cpu", weights_only=False)
-        epoch = int(payload.get("epoch", 0))
+        epoch = int(payload.get("epoch", 0)) if isinstance(payload, dict) else 0
 
     os.makedirs(args.out, exist_ok=True)
     save_checkpoint(osp.join(args.out, "checkpoints"), state, epoch)

@@ -23,6 +23,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices are visible"
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 
@@ -46,10 +51,11 @@ def shard_scene(scene: Dict, mesh: Mesh) -> Dict:
     """
     import jax.numpy as jnp
 
+    per_pixel = ("rgb", "labels", "uv_proj", "mask", "depth", "support_idx")
     out = {}
     for k, v in scene.items():
         arr = jnp.asarray(v)
-        if arr.ndim >= 2 and k in ("rgb", "labels", "uv_proj", "mask"):
+        if arr.ndim >= 2 and k in per_pixel:
             spec = P(None, "data")
         else:
             spec = P()

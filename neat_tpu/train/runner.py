@@ -152,7 +152,9 @@ class TrainRunner:
         from ..ops.fused_sdf import supports_fused_sdf
 
         backend = jax.devices()[0].platform.lower()
-        if supports_fused_sdf(self.cfg.model.implicit) and backend not in ("cpu",):
+        # the fused kernel targets the TPU Mosaic backend only ('axon' is
+        # the tunneled TPU platform of this environment)
+        if supports_fused_sdf(self.cfg.model.implicit) and backend in ("tpu", "axon"):
             self.cfg = dataclasses.replace(
                 self.cfg,
                 model=dataclasses.replace(self.cfg.model, use_pallas_sampler=True),

@@ -6,8 +6,10 @@ TPU-native equivalents:
 
   * :func:`trace` — context manager around jax.profiler for XLA/TPU traces
     viewable in TensorBoard/Perfetto;
-  * :func:`step_timer` — wall-clock section timing with a forced host sync
-    (plain block_until_ready can return early under the axon tunnel);
+  * :func:`step_timer` — wall-clock section timing; jax dispatch is
+    asynchronous, so call :func:`force_sync` on a result INSIDE the block
+    to measure execution rather than dispatch (plain block_until_ready can
+    return early under the axon tunnel);
   * :func:`enable_nan_debugging` — jax_debug_nans: any NaN produced inside
     a jitted function raises with the offending primitive (the functional
     analogue of the reference's NaN backward hooks).

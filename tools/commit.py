@@ -29,11 +29,13 @@ def commit_experiment(rundir: str, message: str = None, repo: str = None) -> Non
         raise SystemExit(f"nothing to commit under {rundir}")
     git(repo, "add", "-f", *[str(t) for t in targets])
     msg = message or f"experiment snapshot {rundir.name}"
+    # pathspec-limited commit: never sweep unrelated pre-staged changes
     subprocess.run(
         [
             "git", "-C", repo,
             "-c", "user.name=expbot", "-c", "user.email=expbot",
-            "commit", "-m", msg, "--allow-empty",
+            "commit", "-m", msg, "--allow-empty", "--",
+            *[str(t) for t in targets],
         ],
         check=True,
     )

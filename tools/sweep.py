@@ -17,7 +17,7 @@ def sweep(exps_folder: str, prune_keep: int = 0, dry_run: bool = True) -> None:
     root = Path(exps_folder)
     for ckpt_dir in sorted(root.glob("**/checkpoints")):
         ckpts = sorted(
-            (p for p in ckpt_dir.glob("*.ckpt") if p.stem != "latest"),
+            (p for p in ckpt_dir.glob("*.ckpt") if p.stem.isdigit()),
             key=lambda p: int(p.stem),
         )
         rel = ckpt_dir.relative_to(root)
