@@ -126,6 +126,31 @@ class TestLossAndGrad:
         assert np.abs(np.asarray(grads["junctions"]["latents"])).sum() > 0
         assert np.abs(np.asarray(grads["density"].beta)) >= 0
 
+    def test_sample_batch_includes_depth(self):
+        """Depth cues flow into ground_truth when the scene carries them."""
+        from neat_tpu.train.step import sample_batch
+
+        rng = np.random.RandomState(0)
+        v, hw = 2, 64
+        scene = {
+            "rgb": jnp.asarray(rng.rand(v, hw, 3).astype(np.float32)),
+            "intrinsics": jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (v, 1, 1))),
+            "pose": jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (v, 1, 1))),
+            "labels": jnp.asarray(rng.randint(0, 3, (v, hw)).astype(np.int32)),
+            "uv_proj": jnp.asarray(rng.rand(v, hw, 2).astype(np.float32)),
+            "lines": jnp.asarray(rng.rand(v, 3, 5).astype(np.float32)),
+            "verts2d": jnp.asarray(rng.rand(v, 4, 2).astype(np.float32)),
+            "verts_mask": jnp.ones((v, 4), dtype=bool),
+            "support_idx": jnp.asarray(np.tile(np.arange(hw, dtype=np.int32), (v, 1))),
+            "support_count": jnp.full((v,), hw, dtype=jnp.int32),
+            "depth": jnp.asarray(rng.rand(v, hw).astype(np.float32)),
+        }
+        inputs, gt = sample_batch(jax.random.PRNGKey(0), scene, 8, 8)
+        assert gt["depth"].shape == (8,)
+        scene.pop("depth")
+        _, gt2 = sample_batch(jax.random.PRNGKey(0), scene, 8, 8)
+        assert "depth" not in gt2
+
     def test_jit_compiles(self):
         cfg = tiny_cfg()
         params = init_neat(jax.random.PRNGKey(0), cfg)
