@@ -180,10 +180,13 @@ def initial_recon(
     junc_match_threshold: float = 0.05,
     sdf_junction_refine: bool = True,
     gt_line_threshold: float = 0.01,
+    vote_threshold: int = 1,
     verbose: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Per-view field distillation + global-junction voting (reference
-    :159-302)."""
+    :159-302). ``vote_threshold`` keeps junctions with more than that many
+    endpoint votes (the reference hardcodes > 1 and flags it as a TODO
+    parameter at :293); raising it trades recall for precision."""
     from scipy.optimize import linear_sum_assignment
 
     if sdf_junction_refine:
@@ -269,12 +272,13 @@ def initial_recon(
     scores_all = np.concatenate(scores_all, axis=0)
     lines3d_all = lines3d_all[scores_all < line_score_threshold]
 
-    voted = [k for k, v in gjc_votes.items() if len(v) > 1]
+    voted = [k for k, v in gjc_votes.items() if len(v) > vote_threshold]
     junctions3d_initial = (
         global_junctions[np.asarray(voted)]
         if voted
         else np.zeros((0, 3), dtype=np.float32)
     )
+    vote_counts = np.asarray([len(gjc_votes[k]) for k in voted], dtype=np.int32)
     if junctions3d_initial.shape[0] > 0 and lines3d_all.shape[0] > 0:
         graph_initial, lines3d_wfi = wireframe_from_lines_and_junctions(
             lines3d_all, junctions3d_initial, rel_matching_distance_threshold=0
@@ -289,6 +293,7 @@ def initial_recon(
         "graph_initial": graph_initial,
         "lines3d_wfi": lines3d_wfi,
         "global_junctions": global_junctions,
+        "junction_votes": vote_counts,
     }
 
 
@@ -336,6 +341,7 @@ def wireframe_recon(
     ckdist: float = 100.0,
     ckview: int = 5,
     junc_match_threshold: float = 0.02,
+    vote_threshold: int = 1,
     sdf_junction_refine: bool = True,
     overwrite: bool = False,
     data_root: str = "../data",
@@ -401,6 +407,7 @@ def wireframe_recon(
             chunksize=chunksize,
             line_dis_threshold=distance,
             junc_match_threshold=junc_match_threshold,
+            vote_threshold=vote_threshold,
             sdf_junction_refine=sdf_junction_refine,
             verbose=verbose,
         )
@@ -449,6 +456,9 @@ def main(argv=None):
     parser.add_argument("--overwrite", default=False, action="store_true")
     parser.add_argument("--disable-junction-refine", default=False, action="store_true")
     parser.add_argument("--junc_match_threshold", default=0.02, type=float)
+    parser.add_argument("--vote-threshold", default=1, type=int, dest="vote_threshold",
+                        help="keep junctions with more than this many votes "
+                        "(reference hardcodes 1; higher = more precision)")
     parser.add_argument("--data_root", default="../data", type=str)
     args = parser.parse_args(argv)
 
@@ -462,6 +472,7 @@ def main(argv=None):
         overwrite=args.overwrite,
         sdf_junction_refine=not args.disable_junction_refine,
         junc_match_threshold=args.junc_match_threshold,
+        vote_threshold=args.vote_threshold,
         data_root=args.data_root,
     )
 
