@@ -79,6 +79,10 @@ class NeatConfig:
     model_variant: str = "neat"  # 'neat' | 'volsdf' (no wireframe head)
     sampler_kind: str = "error_bound"  # 'error_bound' | 'uniform' (neat_uni)
     detach_line_weights: bool = True  # rend_a: True; rend: False
+    # two-pass training (reference neat_wfr_dual.py:351-502): RGB+eikonal
+    # supervised on a uniformly-sampled pixel batch, wireframe/junction
+    # terms on the attraction-support batch
+    dual_batch: bool = False
     dbscan_enabled: bool = False
     use_median: bool = True
     use_l3d: bool = False

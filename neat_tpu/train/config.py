@@ -191,6 +191,7 @@ _MODEL_CLASS_MAP: Dict[str, Dict[str, Any]] = {
     "model.networks.neat_wfr_a.VolSDFNetwork": {"_attraction_mode": "no_view"},
     "model.networks.neat_uni.VolSDFNetwork": {"sampler_kind": "uniform"},
     "model.networks.neat_simple.VolSDFNetwork": {"_attraction_mode": "no_view"},
+    "model.networks.neat_wfr_dual.VolSDFNetwork": {"dual_batch": True},
     "model.neat_along_ray.VolSDFNetwork": {"_straightness": 0.01},
     "model.networks.neat_along_ray_v2.VolSDFNetwork": {"_straightness": 0.01},
     "model.network.VolSDFNetwork": {"model_variant": "volsdf"},

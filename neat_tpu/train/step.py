@@ -125,6 +125,27 @@ def sample_batch(
     return inputs, ground_truth
 
 
+def sample_uniform_batch(
+    rng, scene: Dict[str, jnp.ndarray], n_rays: int, img_width: int, view
+) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+    """Uniformly-sampled pixels of a given view (the dual-batch RGB pass,
+    reference neat_wfr_dual.py's uv0)."""
+    hw = scene["rgb"].shape[1]
+    pix = jax.random.randint(rng, (n_rays,), 0, hw)
+    x = (pix % img_width).astype(jnp.float32)
+    y = (pix // img_width).astype(jnp.float32)
+    uv = jnp.stack([x, y], axis=-1)
+    inputs = {
+        "uv": uv,
+        "uv_proj": uv,
+        "intrinsics": scene["intrinsics"][view],
+        "pose": scene["pose"][view],
+        "verts2d": scene["verts2d"][view],
+        "verts_mask": jnp.zeros_like(scene["verts_mask"][view]),
+    }
+    return inputs, {"rgb": scene["rgb"][view, pix]}
+
+
 def make_train_step(
     model_cfg: NeatConfig,
     loss_cfg: LossConfig,
@@ -143,6 +164,25 @@ def make_train_step(
     optimizer = make_optimizer(lr, decay_rate, decay_steps)
 
     def loss_fn(params, inputs, ground_truth, rng):
+        if model_cfg.dual_batch:
+            # two-pass variant: RGB+eikonal from the uniform batch, line and
+            # junction terms from the support batch (neat_wfr_dual.py:351-502)
+            r0, r1 = jax.random.split(rng)
+            out0 = neat_forward(
+                params, ground_truth["_uniform_inputs"], model_cfg, r0, training=True
+            )
+            out1 = neat_forward(params, inputs, model_cfg, r1, training=True)
+            out = dict(out1)
+            out["rgb_values"] = out0["rgb_values"]
+            out["grad_theta"] = out0["grad_theta"]
+            gt = dict(ground_truth)
+            gt["rgb"] = ground_truth["_uniform_rgb"]
+            gt.pop("_uniform_inputs")
+            gt.pop("_uniform_rgb")
+            losses = neat_loss(out, gt, loss_cfg)
+            aux = dict(losses)
+            aux["psnr"] = psnr_fn(out["rgb_values"], gt["rgb"])
+            return losses["loss"], aux
         out = neat_forward(params, inputs, model_cfg, rng, training=True)
         losses = neat_loss(out, ground_truth, loss_cfg)
         aux = dict(losses)
@@ -152,6 +192,15 @@ def make_train_step(
     def step(state: TrainState, scene: Dict[str, jnp.ndarray], rng) -> Tuple[TrainState, Dict]:
         r_batch, r_fwd = jax.random.split(jax.random.fold_in(rng, state.step))
         inputs, ground_truth = sample_batch(r_batch, scene, n_rays, img_width)
+        if model_cfg.dual_batch:
+            r_view, r_uni = jax.random.split(jax.random.fold_in(r_batch, 1))
+            view = jax.random.randint(r_view, (), 0, scene["rgb"].shape[0])
+            uni_inputs, uni_gt = sample_uniform_batch(
+                r_uni, scene, n_rays, img_width, view
+            )
+            ground_truth = dict(ground_truth)
+            ground_truth["_uniform_inputs"] = uni_inputs
+            ground_truth["_uniform_rgb"] = uni_gt["rgb"]
         if data_sharding is not None:
             inputs = {
                 k: (

@@ -126,6 +126,41 @@ class TestLossAndGrad:
         assert np.abs(np.asarray(grads["junctions"]["latents"])).sum() > 0
         assert np.abs(np.asarray(grads["density"].beta)) >= 0
 
+    def test_dual_batch_variant(self):
+        """neat_wfr_dual two-pass mode: uniform-pixel RGB pass + support
+        wireframe pass compose into one finite loss."""
+        import dataclasses
+        from neat_tpu.train.step import init_train_state, make_train_step
+
+        rng = np.random.RandomState(0)
+        v, hw, w = 2, 64, 8
+        k = np.eye(4, dtype=np.float32)
+        k[0, 0] = k[1, 1] = 10.0
+        k[0, 2] = k[1, 2] = 4.0
+        pose = np.eye(4, dtype=np.float32)
+        pose[2, 3] = -2.0
+        scene = {
+            "rgb": jnp.asarray(rng.rand(v, hw, 3).astype(np.float32)),
+            "intrinsics": jnp.asarray(np.tile(k, (v, 1, 1))),
+            "pose": jnp.asarray(np.tile(pose, (v, 1, 1))),
+            "labels": jnp.asarray(rng.randint(0, 3, (v, hw)).astype(np.int32)),
+            "uv_proj": jnp.asarray(rng.rand(v, hw, 2).astype(np.float32) * w),
+            "lines": jnp.asarray(rng.rand(v, 3, 5).astype(np.float32) * w),
+            "verts2d": jnp.asarray(rng.rand(v, 8, 2).astype(np.float32) * w),
+            "verts_mask": jnp.ones((v, 8), dtype=bool),
+            "support_idx": jnp.asarray(
+                np.tile(np.arange(hw, dtype=np.int32), (v, 1))
+            ),
+            "support_count": jnp.full((v,), hw, dtype=jnp.int32),
+        }
+        cfg = dataclasses.replace(tiny_cfg(), dual_batch=True)
+        params = init_neat(jax.random.PRNGKey(0), cfg)
+        state = init_train_state(params, 5e-4, 0.1, 10)
+        step = make_train_step(cfg, LossConfig(), 5e-4, 0.1, 10, 16, w, donate=False)
+        state, aux = step(state, scene, jax.random.PRNGKey(1))
+        assert np.isfinite(float(np.asarray(aux["loss"])))
+        assert np.isfinite(float(np.asarray(aux["line_loss"])))
+
     def test_sample_batch_includes_depth(self):
         """Depth cues flow into ground_truth when the scene carries them."""
         from neat_tpu.train.step import sample_batch
