@@ -100,6 +100,56 @@ def merge_wireframes(
     return nms_lines(allx, threshold=dedup_threshold)
 
 
+def fuse_lines(
+    scene,
+    lines3d: np.ndarray,
+    dis_threshold: float = 10.0,
+    keep_score: float = 0.5,
+) -> np.ndarray:
+    """Cross-view detection-score fusion (reference evaluation/fusion.py:
+    79-134): project each saved 3D line into every view, match it to its
+    nearest 2D detection, accumulate that detection's confidence, and keep
+    lines whose mean matched confidence exceeds ``keep_score``.
+
+    (The reference indexes the accumulated score by the enumeration index
+    of the label set rather than the label itself — fusion.py:121 — which
+    scrambles scores when labels are non-contiguous; this implementation
+    uses the matched line's own confidence.)
+    """
+    from ..core.camera import project2d
+    import jax.numpy as jnp
+
+    n = lines3d.shape[0]
+    if n == 0:
+        return lines3d
+    scores = np.zeros(n)
+    counts = np.zeros(n)
+    for view in range(scene.n_images):
+        nl = scene.n_lines[view]
+        gt5 = scene.lines[view][:nl]
+        if nl == 0:
+            continue
+        w2c = np.linalg.inv(scene.pose[view])
+        l2d = np.asarray(
+            project2d(
+                jnp.asarray(scene.intrinsics[view][:3, :3]),
+                jnp.asarray(w2c[:3, :3]),
+                jnp.asarray(w2c[:3, 3]),
+                jnp.asarray(lines3d),
+            )
+        ).reshape(-1, 4)
+        d1 = ((gt5[:, None, :4] - l2d[None]) ** 2).sum(-1)
+        d2 = ((gt5[:, None, :4] - l2d[None][:, :, [2, 3, 0, 1]]) ** 2).sum(-1)
+        dis = np.minimum(d1, d2)
+        match_cost = dis.min(axis=0)
+        match_idx = dis.argmin(axis=0)
+        ok = match_cost < dis_threshold
+        scores[ok] += gt5[match_idx[ok], 4]
+        counts[ok] += 1
+    mean_scores = scores / np.maximum(counts, 1)
+    return lines3d[mean_scores > keep_score]
+
+
 def grid_distill(
     lines: np.ndarray,
     cell_size: float = 0.02,
