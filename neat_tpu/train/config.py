@@ -312,6 +312,8 @@ def build_experiment_config(
         beta_iters=int(rs.get("beta_iters", 10)),
         max_total_iters=int(rs.get("max_total_iters", 5)),
         add_tiny=float(rs.get("add_tiny", 0.0)),
+        beta_search=rs.get("beta_search", "bisect"),
+        beta_grid_size=int(rs.get("beta_grid_size", 32)),
     )
     den = m.get("density", {})
     beta_init = float(den.get("params_init", {}).get("beta", 0.1))
