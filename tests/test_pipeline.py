@@ -113,6 +113,18 @@ class TestTrainOnSynthetic:
         assert out["line_precision"][0] == pytest.approx(1.0)
         assert out["line_recall"][0] == pytest.approx(1.0)
 
+    def test_fuse_lines(self, scene_dir, scene):
+        """Cross-view score fusion keeps GT-aligned lines and drops garbage."""
+        from neat_tpu.wireframe.distill import fuse_lines
+
+        with open(osp.join(scene_dir, "toy", "lines.json")) as f:
+            gt = json.load(f)
+        j = np.asarray(gt["junctions"], dtype=np.float32)
+        lines = j[np.asarray(gt["lines"])]
+        garbage = lines + np.asarray([5.0, 5.0, 5.0])[None, None]
+        fused = fuse_lines(scene, np.concatenate([lines, garbage]))
+        assert fused.shape[0] == lines.shape[0]
+
     def test_mesh_and_render_eval(self, scene):
         from neat_tpu.evaluation.render_eval import render_view, export_scene_mesh
 
