@@ -299,6 +299,33 @@ class TrainRunner:
             )
 
     def run(self) -> None:
+        """Train; a checkpoint is always written on exit — including
+        KeyboardInterrupt/SIGTERM — so crash-and-resume loses at most the
+        in-flight epoch (the reference saves only on clean completion)."""
+        epoch = self.start_epoch
+        try:
+            epoch = self._run_epochs()
+        finally:
+            self.save(epoch)
+            self.dump_junctions(epoch)
+
+        self.logger.info(f"Training finished after {epoch} epochs")
+        if self.gitexp:
+            # experiment bookkeeping commits (reference --gitexp,
+            # volsdf_train.py:232-235,245-250)
+            try:
+                import sys
+
+                sys.path.insert(0, osp.join(osp.dirname(__file__), "..", ".."))
+                from tools.commit import commit_experiment
+
+                commit_experiment(
+                    self.rundir, f"experiment {self.expname}/{self.timestamp}"
+                )
+            except Exception as e:  # bookkeeping must never kill a run
+                self.logger.warning(f"gitexp commit failed: {e}")
+
+    def _run_epochs(self) -> int:
         self.logger.info("training...")
         cfg = self.cfg
         rng = jax.random.PRNGKey(self.seed)
@@ -308,6 +335,7 @@ class TrainRunner:
 
         plot_cameras(osp.join(self.plots_dir, "cameras.png"), self.scene.pose)
 
+        epoch = self.start_epoch
         for epoch in range(self.start_epoch, cfg.nepochs + 1):
             if epoch % cfg.checkpoint_freq == 0:
                 self.save(epoch)
@@ -343,23 +371,7 @@ class TrainRunner:
                         self.tb_writer.add_scalar(f"train/{k}", v, epoch)
                     self.tb_writer.add_scalar("train/rays_per_sec", rays_s, epoch)
 
-        self.save(cfg.nepochs)
-        self.dump_junctions(cfg.nepochs)
-        self.logger.info(f"Training finished after {cfg.nepochs} epochs")
-        if self.gitexp:
-            # experiment bookkeeping commits (reference --gitexp,
-            # volsdf_train.py:232-235,245-250)
-            try:
-                import sys
-
-                sys.path.insert(0, osp.join(osp.dirname(__file__), "..", ".."))
-                from tools.commit import commit_experiment
-
-                commit_experiment(
-                    self.rundir, f"experiment {self.expname}/{self.timestamp}"
-                )
-            except Exception as e:  # bookkeeping must never kill a run
-                self.logger.warning(f"gitexp commit failed: {e}")
+        return epoch
 
 
 def main(argv=None):
