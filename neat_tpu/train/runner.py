@@ -153,8 +153,14 @@ class TrainRunner:
 
         backend = jax.devices()[0].platform.lower()
         # the fused kernel targets the TPU Mosaic backend only ('axon' is
-        # the tunneled TPU platform of this environment)
-        if supports_fused_sdf(self.cfg.model.implicit) and backend in ("tpu", "axon"):
+        # the tunneled TPU platform of this environment); restricted to the
+        # flagship variant — the volsdf-variant graph triggered a SIGILL in
+        # the axon AOT compiler's fusion pass during testing
+        if (
+            supports_fused_sdf(self.cfg.model.implicit)
+            and self.cfg.model.model_variant == "neat"
+            and backend in ("tpu", "axon")
+        ):
             self.cfg = dataclasses.replace(
                 self.cfg,
                 model=dataclasses.replace(self.cfg.model, use_pallas_sampler=True),
