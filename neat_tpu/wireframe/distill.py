@@ -192,6 +192,101 @@ def grid_distill(
     return nms_lines(np.stack(out), threshold=cell_size)
 
 
+def _cli_load_run(conf: str, checkpoint: str, data_root: str):
+    import os.path as osp
+
+    from ..train.config import load_experiment_config
+    from ..train.checkpoint import load_checkpoint
+    from ..data.datasets import load_scene
+
+    assert osp.basename(conf) == "runconf.conf"
+    rundir = osp.dirname(conf)
+    cfg = load_experiment_config(conf)
+    state, epoch = load_checkpoint(osp.join(rundir, "checkpoints"), checkpoint)
+    kwargs = dict(
+        data_dir=cfg.data_dir, img_res=cfg.img_res, data_root=data_root,
+        distance_threshold=1.0, max_verts=cfg.model.max_verts,
+        line_detector=cfg.line_detector,
+    )
+    if cfg.dataset_kind in ("dtu", "scene"):
+        kwargs["scan_id"] = cfg.scan_id
+        scene = load_scene("dtu", **kwargs)
+    else:
+        scene = load_scene("blender", **kwargs)
+    return rundir, cfg, state, epoch, scene
+
+
+def main(argv=None):
+    """CLI for the alternate distillation tools (reference
+    evaluation/{wireframe,wireframe-merge,nms,fusion}.py)."""
+    import argparse
+    import os
+    import os.path as osp
+
+    parser = argparse.ArgumentParser()
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_simple = sub.add_parser("simple", help="per-label mean distillation")
+    p_simple.add_argument("--conf", required=True)
+    p_simple.add_argument("--checkpoint", default="latest")
+    p_simple.add_argument("--data_root", default="../data")
+    p_simple.add_argument("--chunksize", type=int, default=2048)
+    p_simple.add_argument("--dis-threshold", type=float, default=10.0)
+
+    p_merge = sub.add_parser("merge", help="merge + dedup line npz files")
+    p_merge.add_argument("inputs", nargs="+")
+    p_merge.add_argument("--out", required=True)
+    p_merge.add_argument("--threshold", type=float, default=0.01)
+
+    p_nms = sub.add_parser("nms", help="greedy 3D line NMS")
+    p_nms.add_argument("--data", required=True)
+    p_nms.add_argument("--out", required=True)
+    p_nms.add_argument("--threshold", type=float, default=0.01)
+
+    p_fuse = sub.add_parser("fuse", help="cross-view detection-score fusion")
+    p_fuse.add_argument("--conf", required=True)
+    p_fuse.add_argument("--checkpoint", default="latest")
+    p_fuse.add_argument("--data", required=True, help="lines npz to re-score")
+    p_fuse.add_argument("--data_root", default="../data")
+    p_fuse.add_argument("--keep-score", type=float, default=0.5)
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "simple":
+        rundir, cfg, state, epoch, scene = _cli_load_run(
+            args.conf, args.checkpoint, args.data_root
+        )
+        lines = simple_recon(
+            state.params, cfg.model, scene,
+            chunksize=args.chunksize, dis_threshold=args.dis_threshold,
+            verbose=True,
+        )
+        out_dir = osp.join(rundir, "wireframes")
+        os.makedirs(out_dir, exist_ok=True)
+        out = osp.join(out_dir, f"{args.checkpoint}-simple.npz")
+        np.savez(out, lines3d=lines)
+        print(f"{lines.shape[0]} lines -> {out}")
+    elif args.cmd == "merge":
+        sets = [np.load(p)["lines3d"].reshape(-1, 2, 3) for p in args.inputs]
+        merged = merge_wireframes(sets, dedup_threshold=args.threshold)
+        np.savez(args.out, lines3d=merged)
+        print(f"{sum(s.shape[0] for s in sets)} -> {merged.shape[0]} lines -> {args.out}")
+    elif args.cmd == "nms":
+        lines = np.load(args.data)["lines3d"].reshape(-1, 2, 3)
+        kept = nms_lines(lines, threshold=args.threshold)
+        np.savez(args.out, lines3d=kept)
+        print(f"{lines.shape[0]} -> {kept.shape[0]} lines -> {args.out}")
+    elif args.cmd == "fuse":
+        rundir, cfg, state, epoch, scene = _cli_load_run(
+            args.conf, args.checkpoint, args.data_root
+        )
+        lines = np.load(args.data)["lines3d"].reshape(-1, 2, 3)
+        fused = fuse_lines(scene, lines, keep_score=args.keep_score)
+        out = args.data.replace(".npz", "-fused.npz")
+        np.savez(out, lines3d=fused)
+        print(f"{lines.shape[0]} -> {fused.shape[0]} lines -> {out}")
+
+
 def refine_lines_sdf(
     params, cfg, lines: np.ndarray, n_steps: int = 1, keep_threshold: float = 0.05
 ) -> np.ndarray:
@@ -211,3 +306,7 @@ def refine_lines_sdf(
     out = np.asarray(pts).reshape(-1, 2, 3)
     keep = (np.abs(final_sdf) < keep_threshold).all(axis=1)
     return out[keep]
+
+
+if __name__ == "__main__":
+    main()
