@@ -7,6 +7,7 @@ COMMANDS = {
     "eval-dtu": "neat_tpu.evaluation.eval_dtu — DTU surface ACC/COMP",
     "eval-lsr": "neat_tpu.evaluation.eval_lsr — wireframe ACC/COMP",
     "render": "neat_tpu.evaluation.render_eval — full-view PSNR + mesh",
+    "distill": "neat_tpu.wireframe.distill — simple/merge/nms/fuse tools",
     "view": "neat_tpu.viz.viewer — headless wireframe turntable",
     "colmap": "neat_tpu.colmap_tools.convert — SfM -> cameras.npz",
     "synthetic": "neat_tpu.data.synthetic — generate a test scene",

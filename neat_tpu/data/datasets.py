@@ -153,6 +153,14 @@ def _pack_wireframes(
         n = ln.shape[0]
         lines[i, :n] = ln
         n_lines[i] = n
+        if wf.num_vertices > v_max:
+            import warnings
+
+            warnings.warn(
+                f"view {i}: {wf.num_vertices} wireframe vertices exceed "
+                f"max_verts={v_max}; extra junction supervision is dropped "
+                "(raise max_verts)"
+            )
         nv = min(wf.num_vertices, v_max)
         verts2d[i, :nv] = wf.vertices[:nv]
         verts_mask[i, :nv] = True
