@@ -64,14 +64,26 @@ def _invert_cdf(
 
     bins: (R, S) sorted sample positions; cdf: (R, S) with leading 0;
     u: (R, N) in [0,1]. Returns (R, N).
+
+    TPU note: gather-free formulation. searchsorted-right gives
+    below = last index with cdf <= u and above = first index with
+    cdf > u (clamped); because both cdf and bins are ascending, the four
+    gathered values are exactly masked max/min reductions over the same
+    (R, N, S) comparison — XLA fuses them into one pass with no index
+    tensors or gathers (the gather form cost several ms/step in copies).
     """
-    inds = _searchsorted_right(cdf, u)
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, cdf.shape[-1] - 1)
-    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_b = jnp.take_along_axis(bins, below, axis=-1)
-    bins_a = jnp.take_along_axis(bins, above, axis=-1)
+    cmp = cdf[..., None, :] <= u[..., :, None]  # (R, N, S)
+    big = jnp.asarray(jnp.inf, bins.dtype)
+    cdf_e = cdf[..., None, :]
+    bins_e = bins[..., None, :]
+    # below: last index with cdf <= u (at least index 0 since cdf[0] = 0)
+    cdf_b = jnp.max(jnp.where(cmp, cdf_e, -big), axis=-1)
+    bins_b = jnp.max(jnp.where(cmp, bins_e, -big), axis=-1)
+    # above: first index with cdf > u; clamp to the last entry when none
+    cdf_a = jnp.min(jnp.where(cmp, big, cdf_e), axis=-1)
+    bins_a = jnp.min(jnp.where(cmp, big, bins_e), axis=-1)
+    cdf_a = jnp.where(jnp.isfinite(cdf_a), cdf_a, cdf[..., -1:])
+    bins_a = jnp.where(jnp.isfinite(bins_a), bins_a, bins[..., -1:])
     denom = cdf_a - cdf_b
     denom = jnp.where(denom < 1e-5, 1.0, denom)
     t = (u - cdf_b) / denom
