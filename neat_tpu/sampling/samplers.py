@@ -44,19 +44,6 @@ from ..core.render import alpha_transmittance
 # ---------------------------------------------------------------------------
 
 
-def _searchsorted_right(cdf: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
-    """Row-wise searchsorted(cdf, u, side='right'). cdf: (R, S), u: (R, N).
-
-    TPU note: implemented as a comparison-count reduction
-    ``sum_k [cdf_k <= u_j]`` — one fused (R, N, S) compare+reduce on the
-    VPU. The vmapped binary-search lowering costs ~30 ms per sampler round
-    at (1024, 640, 128) through sequential dynamic gathers; this form is
-    two orders of magnitude cheaper.
-    """
-    cmp = cdf[..., None, :] <= u[..., :, None]  # (R, N, S)
-    return jnp.sum(cmp, axis=-1).astype(jnp.int32)
-
-
 def _invert_cdf(
     bins: jnp.ndarray, cdf: jnp.ndarray, u: jnp.ndarray
 ) -> jnp.ndarray:
