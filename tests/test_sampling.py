@@ -36,6 +36,48 @@ class TestUniform:
         assert (np.diff(zz, axis=1) >= 0).all()  # stratified keeps order
 
 
+class TestInvertCdf:
+    def test_matches_searchsorted_oracle(self, rng):
+        """The gather-free masked-reduction formulation must agree with the
+        classic searchsorted-right + gather formulation exactly."""
+        from neat_tpu.sampling.samplers import _invert_cdf
+
+        r, s, n = 16, 33, 24
+        bins = np.sort(rng.rand(r, s).astype(np.float32), axis=1)
+        pdf = rng.rand(r, s - 1).astype(np.float32) + 1e-5
+        pdf /= pdf.sum(1, keepdims=True)
+        cdf = np.concatenate(
+            [np.zeros((r, 1), np.float32), np.cumsum(pdf, 1)], axis=1
+        ).astype(np.float32)
+        u = rng.rand(r, n).astype(np.float32)
+
+        got = np.asarray(_invert_cdf(jnp.asarray(bins), jnp.asarray(cdf), jnp.asarray(u)))
+
+        # oracle: numpy searchsorted right + gathers
+        want = np.empty_like(got)
+        for i in range(r):
+            inds = np.searchsorted(cdf[i], u[i], side="right")
+            below = np.maximum(inds - 1, 0)
+            above = np.minimum(inds, s - 1)
+            cb, ca = cdf[i][below], cdf[i][above]
+            bb, ba = bins[i][below], bins[i][above]
+            denom = np.where(ca - cb < 1e-5, 1.0, ca - cb)
+            want[i] = bb + (u[i] - cb) / denom * (ba - bb)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    def test_duplicate_cdf_values(self):
+        """Flat pdf regions (duplicate cdf entries) behave like the oracle."""
+        from neat_tpu.sampling.samplers import _invert_cdf
+
+        bins = jnp.asarray([[0.0, 1.0, 2.0, 3.0, 4.0]])
+        cdf = jnp.asarray([[0.0, 0.5, 0.5, 0.5, 1.0]])
+        u = jnp.asarray([[0.25, 0.5, 0.75]])
+        got = np.asarray(_invert_cdf(bins, cdf, u))
+        # u=0.5: below = last index with cdf<=0.5 (idx 3, bins 3.0);
+        # above = first cdf>0.5 (idx 4, bins 4.0); t = 0 -> 3.0
+        np.testing.assert_allclose(got[0], [0.5, 3.0, 3.5], atol=1e-6)
+
+
 class TestSamplePdf:
     def test_concentrates_on_peak(self):
         bins = jnp.linspace(0, 1, 33)[None].repeat(2, 0)
