@@ -202,18 +202,16 @@ def make_train_step(
             ground_truth["_uniform_inputs"] = uni_inputs
             ground_truth["_uniform_rgb"] = uni_gt["rgb"]
         if data_sharding is not None:
-            inputs = {
-                k: (
-                    jax.lax.with_sharding_constraint(v, data_sharding)
-                    if v.ndim >= 1 and v.shape[0] == n_rays
-                    else v
-                )
-                for k, v in inputs.items()
-            }
-            ground_truth = {
-                k: jax.lax.with_sharding_constraint(v, data_sharding)
-                for k, v in ground_truth.items()
-            }
+            # Constrain only ray-leading leaves; ground_truth may contain the
+            # nested _uniform_inputs dict whose (4,4) camera leaves must stay
+            # replicated (they have no ray axis to shard).
+            def _constrain(v):
+                if v.ndim >= 1 and v.shape[0] == n_rays:
+                    return jax.lax.with_sharding_constraint(v, data_sharding)
+                return v
+
+            inputs = jax.tree_util.tree_map(_constrain, inputs)
+            ground_truth = jax.tree_util.tree_map(_constrain, ground_truth)
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, inputs, ground_truth, r_fwd
         )

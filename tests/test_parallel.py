@@ -1,0 +1,141 @@
+"""Multi-device sharding tests on the conftest's 8-device virtual CPU mesh.
+
+These are the fake-backend distributed tests the reference lacks (SURVEY.md
+§4): the sharded train step must be numerically equivalent to the
+single-device step, shard_scene must place per-pixel tables over the mesh
+and replicate the small per-view tables, and the dual-batch variant (whose
+ground_truth pytree nests non-ray-shaped camera leaves) must compile and
+match under sharding.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from neat_tpu.fields.mlp import GlobalJunctionsConfig, ImplicitNetConfig
+from neat_tpu.model.loss import LossConfig
+from neat_tpu.model.neat import NeatConfig, init_neat
+from neat_tpu.parallel.mesh import (
+    make_mesh,
+    ray_sharding,
+    replicated_sharding,
+    shard_scene,
+)
+from neat_tpu.sampling.samplers import ErrorBoundSamplerConfig
+from neat_tpu.train.step import init_train_state, make_train_step
+
+N_DEV = 8
+N_RAYS = 2 * N_DEV
+IMG_W = 16
+HW = IMG_W * IMG_W  # divisible by N_DEV
+N_VIEWS = 2
+L_MAX = 4
+
+
+def _tiny_cfg(**overrides) -> NeatConfig:
+    base = NeatConfig(
+        implicit=ImplicitNetConfig(dims=(32,) * 3, skip_in=(1,), multires=4),
+        junctions=GlobalJunctionsConfig(num_junctions=8, dim_hidden=32),
+        sampler=ErrorBoundSamplerConfig(
+            n_samples=6, n_samples_eval=8, n_samples_extra=2, max_total_iters=2
+        ),
+        max_verts=8,
+    )
+    return dataclasses.replace(base, **overrides)
+
+
+def _tiny_scene(seed: int = 0):
+    rng = np.random.RandomState(seed)
+    k = np.eye(4, dtype=np.float32)
+    k[0, 0] = k[1, 1] = 18.0
+    k[0, 2] = k[1, 2] = IMG_W / 2.0
+    poses = np.tile(np.eye(4, dtype=np.float32), (N_VIEWS, 1, 1))
+    poses[:, 2, 3] = -2.0
+    return {
+        "rgb": rng.rand(N_VIEWS, HW, 3).astype(np.float32),
+        "intrinsics": np.tile(k, (N_VIEWS, 1, 1)),
+        "pose": poses,
+        "mask": np.ones((N_VIEWS, HW), dtype=bool),
+        "labels": rng.randint(0, L_MAX, (N_VIEWS, HW)).astype(np.int32),
+        "uv_proj": rng.rand(N_VIEWS, HW, 2).astype(np.float32) * IMG_W,
+        "lines": rng.rand(N_VIEWS, L_MAX, 5).astype(np.float32) * IMG_W,
+        "verts2d": rng.rand(N_VIEWS, 8, 2).astype(np.float32) * IMG_W,
+        "verts_mask": np.ones((N_VIEWS, 8), dtype=bool),
+        "support_idx": np.tile(np.arange(HW, dtype=np.int32), (N_VIEWS, 1)),
+        "support_count": np.full((N_VIEWS,), HW, dtype=np.int32),
+    }
+
+
+def _run_steps(cfg, scene_np, mesh=None, n_steps=2):
+    """Run n_steps of the jitted train step; sharded iff mesh is given."""
+    data_shard = ray_sharding(mesh) if mesh is not None else None
+    params = init_neat(jax.random.PRNGKey(0), cfg)
+    state = init_train_state(params, 5e-4, 0.1, 100)
+    if mesh is not None:
+        scene = shard_scene(scene_np, mesh)
+        state = jax.device_put(state, replicated_sharding(mesh))
+    else:
+        scene = {k: jnp.asarray(v) for k, v in scene_np.items()}
+    step = make_train_step(
+        cfg, LossConfig(), 5e-4, 0.1, 100, N_RAYS, IMG_W,
+        data_sharding=data_shard, donate=False,
+    )
+    aux = None
+    for i in range(n_steps):
+        state, aux = step(state, scene, jax.random.PRNGKey(7))
+    jax.block_until_ready(state.params)
+    return state, aux
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh(N_DEV)
+    assert mesh.devices.size == N_DEV
+
+
+def test_shard_scene_placement():
+    mesh = make_mesh(N_DEV)
+    scene = shard_scene(_tiny_scene(), mesh)
+    # per-pixel tables: sharded over the pixel axis
+    for k in ("rgb", "labels", "uv_proj", "mask", "support_idx"):
+        spec = scene[k].sharding.spec
+        assert tuple(spec)[:2] == (None, "data"), (k, spec)
+        # really spread over devices, not 1 copy
+        assert len(scene[k].sharding.device_set) == N_DEV
+    # small per-view tables: replicated
+    for k in ("intrinsics", "pose", "lines", "verts2d", "support_count"):
+        assert scene[k].sharding.is_fully_replicated, k
+
+
+def test_sharded_step_matches_single_device():
+    cfg = _tiny_cfg()
+    scene = _tiny_scene()
+    state_1, aux_1 = _run_steps(cfg, scene, mesh=None)
+    state_8, aux_8 = _run_steps(cfg, scene, mesh=make_mesh(N_DEV))
+    np.testing.assert_allclose(
+        float(aux_1["loss"]), float(aux_8["loss"]), rtol=1e-5, atol=1e-6
+    )
+    flat_1 = jax.tree_util.tree_leaves(state_1.params)
+    flat_8 = jax.tree_util.tree_leaves(state_8.params)
+    for a, b in zip(flat_1, flat_8):
+        # psum reduction order differs from the single-device sum; allow
+        # float32 reduction noise.
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
+        )
+
+
+def test_dual_batch_sharded_step_runs_and_matches():
+    # ground_truth carries the nested _uniform_inputs dict whose (4,4)
+    # camera leaves must not receive a ray sharding constraint.
+    cfg = _tiny_cfg(dual_batch=True)
+    scene = _tiny_scene()
+    state_1, aux_1 = _run_steps(cfg, scene, mesh=None, n_steps=1)
+    state_8, aux_8 = _run_steps(cfg, scene, mesh=make_mesh(N_DEV), n_steps=1)
+    assert np.isfinite(float(aux_8["loss"]))
+    np.testing.assert_allclose(
+        float(aux_1["loss"]), float(aux_8["loss"]), rtol=1e-5, atol=1e-6
+    )
