@@ -204,7 +204,7 @@ def implicit_sdf(
 
 
 def implicit_sdf_feat_grad(
-    params: Params, x: jnp.ndarray, cfg: ImplicitNetConfig
+    params: Params, x: jnp.ndarray, cfg: ImplicitNetConfig, compute_dtype=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(sdf, features, d sdf/d x) with the sphere clamp applied before
     differentiation (reference get_outputs). x: (N, 3).
@@ -212,10 +212,16 @@ def implicit_sdf_feat_grad(
     Single forward + single vjp backward: the cotangent selects the sdf
     channel, so features come for free from the same forward pass. The
     surrounding loss may differentiate through the returned gradients
-    (eikonal / normal conditioning) — jax handles the grad-of-grad."""
+    (eikonal / normal conditioning) — jax handles the grad-of-grad.
+
+    ``compute_dtype`` (e.g. jnp.bfloat16) runs the MLP layer chain at
+    reduced precision (positional encoding, clamp, and outputs stay f32;
+    MXU accumulation is f32). This halves the HBM activation traffic of
+    the training step's dominant term — the step is memory-bound at f32
+    (RESULTS.md roofline) — at ~1e-3 relative output error."""
 
     def f(pts):
-        out = implicit_forward(params, pts, cfg)
+        out = implicit_forward(params, pts, cfg, compute_dtype=compute_dtype)
         sdf = _clamp_sdf(out[..., :1], pts, cfg)
         return sdf, out[..., 1:]
 
@@ -312,11 +318,16 @@ def render_forward(
     view_dirs: jnp.ndarray,
     feature_vectors: jnp.ndarray,
     cfg: RenderNetConfig,
+    compute_dtype=None,
 ) -> jnp.ndarray:
-    """RGB in [0,1] (..., 3)."""
+    """RGB in [0,1] (..., 3). ``compute_dtype`` as in
+    implicit_sdf_feat_grad: reduced-precision layer chain, f32 in/out."""
     x = _idr_inputs(points, normals, view_dirs, feature_vectors, cfg)
+    out_dtype = x.dtype
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
     h = _idr_mlp_forward(params, x, len(cfg.layer_dims()))
-    return jax.nn.sigmoid(h)
+    return jax.nn.sigmoid(h.astype(out_dtype))
 
 
 def init_attraction_net(key, cfg: RenderNetConfig) -> Params:
@@ -330,12 +341,17 @@ def attraction_forward(
     view_dirs: jnp.ndarray,
     feature_vectors: jnp.ndarray,
     cfg: RenderNetConfig,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """Two 3D endpoints per query point: (..., 2, 3) = point + offsets
-    (reference AttractionFieldNetwork.forward, neat_wfr_rend_a.py:175-197)."""
+    (reference AttractionFieldNetwork.forward, neat_wfr_rend_a.py:175-197).
+    ``compute_dtype``: reduced-precision layer chain, f32 in/out."""
     x = _idr_inputs(points, normals, view_dirs, feature_vectors, cfg)
+    out_dtype = x.dtype
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
     h = _idr_mlp_forward(params, x, len(cfg.layer_dims()))
-    offsets = h.reshape(*points.shape[:-1], 2, 3)
+    offsets = h.astype(out_dtype).reshape(*points.shape[:-1], 2, 3)
     return points[..., None, :] + offsets
 
 

@@ -95,6 +95,13 @@ class NeatConfig:
     # evals ('bfloat16' | 'float32'); z-selection tolerates the ~1e-3
     # relative error and runs 2.7x faster. 'float32' restores strict parity.
     sampler_compute_dtype: str = "bfloat16"
+    # reduced-precision layer chains for the main differentiated field
+    # evals (implicit+grad, rendering, attraction on the R*S point batch).
+    # The f32 step is HBM-bandwidth-bound (RESULTS.md roofline: 32.8 GB
+    # moved/step = 100% of v5e peak); bf16 activations halve that traffic.
+    # PE, sphere clamp, density/weights, losses, eikonal branch, and the
+    # tiny surface-point eval stay f32. 'float32' restores strict parity.
+    field_compute_dtype: str = "float32"
     # Pallas fused-MLP kernel for the sampler's SDF evals (VMEM-resident
     # layer chain, ops/fused_sdf.py). Only valid for the canonical
     # architecture and TPU backends; enable via the runner/bench, which
@@ -128,7 +135,10 @@ def offline_eval_config(cfg: NeatConfig) -> NeatConfig:
     bf16/pallas proposal path is a training-throughput trade-off that shows
     as banding in full-image renders."""
     return dataclasses.replace(
-        cfg, sampler_compute_dtype="float32", use_pallas_sampler=False
+        cfg,
+        sampler_compute_dtype="float32",
+        field_compute_dtype="float32",
+        use_pallas_sampler=False,
     )
 
 
@@ -235,9 +245,15 @@ def neat_forward(
     points_flat = points.reshape(-1, 3)
     dirs_flat = jnp.broadcast_to(ray_dirs[:, None, :], points.shape).reshape(-1, 3)
 
-    sdf, feats, grads = implicit_sdf_feat_grad(params["implicit"], points_flat, cfg.implicit)
+    fdtype = (
+        jnp.bfloat16 if cfg.field_compute_dtype == "bfloat16" else None
+    )
+    sdf, feats, grads = implicit_sdf_feat_grad(
+        params["implicit"], points_flat, cfg.implicit, compute_dtype=fdtype
+    )
     rgb_flat = render_forward(
-        params["rendering"], points_flat, grads, dirs_flat, feats, cfg.rendering
+        params["rendering"], points_flat, grads, dirs_flat, feats, cfg.rendering,
+        compute_dtype=fdtype,
     )
     rgb = rgb_flat.reshape(n_rays, n_samples, 3)
 
@@ -277,7 +293,8 @@ def neat_forward(
 
     # ----- attraction field ------------------------------------------------
     lines3d = attraction_forward(
-        params["attraction"], points_flat, grads, dirs_flat, feats, cfg.attraction
+        params["attraction"], points_flat, grads, dirs_flat, feats, cfg.attraction,
+        compute_dtype=fdtype,
     ).reshape(n_rays, n_samples, 2, 3)
     w_for_lines = (
         jax.lax.stop_gradient(weights) if cfg.detach_line_weights else weights

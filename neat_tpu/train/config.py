@@ -344,6 +344,8 @@ def build_experiment_config(
         junction_eikonal=bool(m.get("junction_eikonal", False)),
         max_verts=max_verts,
         assignment_method=assignment_method,
+        sampler_compute_dtype=str(m.get("sampler_compute_dtype", "bfloat16")),
+        field_compute_dtype=str(m.get("field_compute_dtype", "float32")),
         **variant_overrides,
     )
 

@@ -87,6 +87,7 @@ class TrainRunner:
         use_mesh: bool = False,
         do_vis: bool = False,
         gitexp: bool = False,
+        field_dtype: Optional[str] = None,
     ):
         self.do_vis = do_vis
         self.gitexp = gitexp
@@ -97,6 +98,13 @@ class TrainRunner:
             max_verts=max_verts,
             assignment_method=assignment_method,
         )
+        if field_dtype is not None:
+            self.cfg = dataclasses.replace(
+                self.cfg,
+                model=dataclasses.replace(
+                    self.cfg.model, field_compute_dtype=field_dtype
+                ),
+            )
         self.expname = self.cfg.expname + expname_suffix
         if self.cfg.scan_id != -1:
             self.expname = f"{self.expname}/{self.cfg.scan_id}"
@@ -410,6 +418,10 @@ def main(argv=None):
     parser.add_argument("--distributed", default=False, action="store_true",
                         help="multi-host: jax.distributed.initialize() before "
                         "building the mesh (DCN via JAX; pair with --mesh)")
+    parser.add_argument("--field_dtype", default=None,
+                        choices=["float32", "bfloat16"],
+                        help="override model.field_compute_dtype (precision "
+                        "of the main differentiated field evals)")
     parser.add_argument("--debug_nans", default=False, action="store_true",
                         help="raise on NaN inside jitted code (replaces the "
                         "reference's pdb NaN backward hooks)")
@@ -439,6 +451,7 @@ def main(argv=None):
         use_mesh=args.mesh,
         do_vis=args.do_vis,
         gitexp=args.gitexp,
+        field_dtype=args.field_dtype,
     )
     runner.run()
 

@@ -21,6 +21,12 @@ import jax  # noqa: E402
 # is initialized so tests are hermetic and fast.
 jax.config.update("jax_platforms", "cpu")
 
+from neat_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+# Persistent XLA compile cache: the suite's wall-clock is dominated by CPU
+# compilation of the train-step graphs; warm runs drop from ~14 min to ~2.
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -43,6 +43,7 @@ class TestDtuConvention:
         np.testing.assert_array_equal(dtu.mask, b.mask)
         np.testing.assert_allclose(dtu.uv_proj, b.uv_proj, atol=1e-5)
 
+    @pytest.mark.slow
     def test_trainable(self, scene_dirs):
         import jax
         from neat_tpu.model.neat import NeatConfig, init_neat

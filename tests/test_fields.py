@@ -1,6 +1,7 @@
 """Tests for the field MLPs: shapes, inits, weight norm, gradients."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -146,3 +147,53 @@ class TestGlobalJunctions:
         params = init_global_junctions(jax.random.PRNGKey(0), cfg)
         std = float(jnp.std(params["latents"]))
         assert 0.9 < std < 1.1
+
+
+class TestReducedPrecisionFieldPath:
+    """field_compute_dtype=bfloat16 runs the differentiated layer chains at
+    reduced precision (the f32 step is HBM-bound — RESULTS.md roofline);
+    outputs must stay within the bf16 error band of the f32 path."""
+
+    @pytest.mark.slow  # full-size 8x256 vjp graph: slow CPU compile
+    def test_implicit_bf16_close_to_f32(self):
+        cfg = ImplicitNetConfig()
+        params = init_implicit_net(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (256, 3), minval=-1, maxval=1)
+        sdf32, feat32, grad32 = implicit_sdf_feat_grad(params, x, cfg)
+        sdfb, featb, gradb = implicit_sdf_feat_grad(
+            params, x, cfg, compute_dtype=jnp.bfloat16
+        )
+        assert sdfb.dtype == jnp.float32 and gradb.dtype == jnp.float32
+        assert np.abs(np.asarray(sdf32 - sdfb)).max() < 2e-2
+        # gradients are O(1) at the geometric init
+        assert np.abs(np.asarray(grad32 - gradb)).max() < 8e-2
+
+    def test_implicit_bf16_grad_of_grad_flows(self):
+        cfg = ImplicitNetConfig(dims=(32,) * 4, skip_in=(2,), multires=4)
+        params = init_implicit_net(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=-1, maxval=1)
+
+        def eik(p):
+            _, _, g = implicit_sdf_feat_grad(p, x, cfg, compute_dtype=jnp.bfloat16)
+            return jnp.mean((jnp.linalg.norm(g, axis=-1) - 1.0) ** 2)
+
+        grads = jax.grad(eik)(params)
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+
+    def test_render_attraction_bf16_close(self):
+        rcfg = RenderNetConfig(multires_view=4)
+        acfg = RenderNetConfig(d_out=6, multires_view=0)
+        rp = init_render_net(jax.random.PRNGKey(0), rcfg)
+        ap = init_attraction_net(jax.random.PRNGKey(1), acfg)
+        n = 128
+        key = jax.random.PRNGKey(2)
+        pts, nrm, dirs = jax.random.normal(key, (3, n, 3))
+        feats = jax.random.normal(jax.random.PRNGKey(3), (n, 256)) * 0.1
+        rgb32 = render_forward(rp, pts, nrm, dirs, feats, rcfg)
+        rgbb = render_forward(rp, pts, nrm, dirs, feats, rcfg, compute_dtype=jnp.bfloat16)
+        assert np.abs(np.asarray(rgb32 - rgbb)).max() < 2e-2
+        l32 = attraction_forward(ap, pts, nrm, dirs, feats, acfg)
+        lb = attraction_forward(ap, pts, nrm, dirs, feats, acfg, compute_dtype=jnp.bfloat16)
+        assert np.abs(np.asarray(l32 - lb)).max() < 5e-2

@@ -51,6 +51,7 @@ def make_gt(n_rays=16):
 
 
 class TestForward:
+    @pytest.mark.slow
     def test_output_shapes(self):
         cfg = tiny_cfg()
         params = init_neat(jax.random.PRNGKey(0), cfg)
@@ -83,6 +84,7 @@ class TestForward:
         assert "lines3d" not in out
         assert "grad_theta" in out
 
+    @pytest.mark.slow
     def test_uniform_sampler_variant(self):
         cfg = tiny_cfg(sampler_kind="uniform")
         params = init_neat(jax.random.PRNGKey(0), cfg)
@@ -97,6 +99,7 @@ class TestForward:
 
 
 class TestLossAndGrad:
+    @pytest.mark.slow
     def test_loss_finite_and_components(self):
         cfg = tiny_cfg()
         params = init_neat(jax.random.PRNGKey(0), cfg)
@@ -106,6 +109,7 @@ class TestLossAndGrad:
             assert k in losses
             assert np.isfinite(float(losses[k])), f"{k} not finite"
 
+    @pytest.mark.slow
     def test_grads_flow_everywhere(self):
         cfg = tiny_cfg()
         params = init_neat(jax.random.PRNGKey(0), cfg)
@@ -126,6 +130,7 @@ class TestLossAndGrad:
         assert np.abs(np.asarray(grads["junctions"]["latents"])).sum() > 0
         assert np.abs(np.asarray(grads["density"].beta)) >= 0
 
+    @pytest.mark.slow
     def test_dual_batch_variant(self):
         """neat_wfr_dual two-pass mode: uniform-pixel RGB pass + support
         wireframe pass compose into one finite loss."""
@@ -186,6 +191,7 @@ class TestLossAndGrad:
         _, gt2 = sample_batch(jax.random.PRNGKey(0), scene, 8, 8)
         assert "depth" not in gt2
 
+    @pytest.mark.slow
     def test_jit_compiles(self):
         cfg = tiny_cfg()
         params = init_neat(jax.random.PRNGKey(0), cfg)

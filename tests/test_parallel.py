@@ -110,6 +110,7 @@ def test_shard_scene_placement():
         assert scene[k].sharding.is_fully_replicated, k
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device():
     cfg = _tiny_cfg()
     scene = _tiny_scene()
@@ -128,6 +129,7 @@ def test_sharded_step_matches_single_device():
         )
 
 
+@pytest.mark.slow
 def test_dual_batch_sharded_step_runs_and_matches():
     # ground_truth carries the nested _uniform_inputs dict whose (4,4)
     # camera leaves must not receive a ray sharding constraint.

@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # trains end-to-end; opt-in via -m slow
+
 from neat_tpu.data.synthetic import generate_scene
 from neat_tpu.data.datasets import load_blender_scene
 from neat_tpu.model.neat import NeatConfig, init_neat

@@ -7,6 +7,8 @@ import numpy as np
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow  # trains end-to-end; opt-in via -m slow
+
 from neat_tpu.data.synthetic import generate_scene
 
 TINY_CONF = """

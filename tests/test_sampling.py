@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from neat_tpu.core.density import LaplaceDensityParams
 from neat_tpu.sampling import (
@@ -116,6 +117,7 @@ class TestErrorBound:
         )
         return z, z_eik
 
+    @pytest.mark.slow
     def test_shapes_static(self):
         z, z_eik = self._run(training=True)
         assert z.shape == (8, 16 + 8 + 2)
@@ -134,6 +136,7 @@ class TestErrorBound:
         frac_near = np.mean(np.abs(zz - 1.5) < 0.5)
         assert frac_near > 0.5, f"only {frac_near:.2f} of samples near surface"
 
+    @pytest.mark.slow
     def test_no_gradient_leak(self):
         """z values are constants: no gradient flows into density params."""
 
@@ -267,6 +270,7 @@ class TestClustering:
             np.asarray(means)[v][0], pts.mean(0), atol=1e-4
         )
 
+    @pytest.mark.slow
     def test_matches_sklearn(self):
         from neat_tpu.assignment import dbscan_cluster_means
         from sklearn.cluster import DBSCAN
