@@ -11,6 +11,7 @@ matmul of the consuming MLP, so there is no separate kernel cost.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -29,8 +30,12 @@ def positional_encoding(x: jnp.ndarray, multires: int) -> jnp.ndarray:
     """
     if multires <= 0:
         return x
-    # log-sampled bands: 2 ** linspace(0, multires-1, multires)
-    freqs = 2.0 ** jnp.linspace(0.0, multires - 1, multires, dtype=x.dtype)
+    # log-sampled bands: 2 ** linspace(0, multires-1, multires). Computed
+    # as trace-time numpy constants so the encoding lowers inside Pallas
+    # kernels too (Mosaic has no float iota).
+    freqs = jnp.asarray(
+        2.0 ** np.linspace(0.0, multires - 1, multires), dtype=x.dtype
+    )
     # (..., 1, D) * (M, 1) -> (..., M, D)
     xb = x[..., None, :] * freqs[:, None]
     sin = jnp.sin(xb)

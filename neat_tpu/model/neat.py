@@ -107,6 +107,12 @@ class NeatConfig:
     # architecture and TPU backends; enable via the runner/bench, which
     # check supports_fused_sdf + backend.
     use_pallas_sampler: bool = False
+    # Pallas fused main-pass kernel (implicit+grad+render+attraction with
+    # a custom VJP, ops/fused_field.py): the 256-wide feature activations
+    # never touch HBM. Canonical architecture + TPU backends only; enable
+    # via runner/bench after checking supports_fused_field. Runs at
+    # field_compute_dtype precision with f32 accumulation.
+    use_pallas_field: bool = False
 
     @staticmethod
     def for_abc() -> "NeatConfig":
@@ -139,6 +145,7 @@ def offline_eval_config(cfg: NeatConfig) -> NeatConfig:
         sampler_compute_dtype="float32",
         field_compute_dtype="float32",
         use_pallas_sampler=False,
+        use_pallas_field=False,
     )
 
 
@@ -248,13 +255,27 @@ def neat_forward(
     fdtype = (
         jnp.bfloat16 if cfg.field_compute_dtype == "bfloat16" else None
     )
-    sdf, feats, grads = implicit_sdf_feat_grad(
-        params["implicit"], points_flat, cfg.implicit, compute_dtype=fdtype
-    )
-    rgb_flat = render_forward(
-        params["rendering"], points_flat, grads, dirs_flat, feats, cfg.rendering,
-        compute_dtype=fdtype,
-    )
+    use_fused_field = cfg.use_pallas_field and cfg.model_variant == "neat"
+    lines3d_flat = None
+    if use_fused_field:
+        from ..ops.fused_field import fused_field_eval
+
+        sdf, grads, rgb_flat, lines3d_flat = fused_field_eval(
+            params,
+            points_flat,
+            dirs_flat,
+            cfg.implicit,
+            cfg.rendering,
+            compute_dtype=cfg.field_compute_dtype,
+        )
+    else:
+        sdf, feats, grads = implicit_sdf_feat_grad(
+            params["implicit"], points_flat, cfg.implicit, compute_dtype=fdtype
+        )
+        rgb_flat = render_forward(
+            params["rendering"], points_flat, grads, dirs_flat, feats, cfg.rendering,
+            compute_dtype=fdtype,
+        )
     rgb = rgb_flat.reshape(n_rays, n_samples, 3)
 
     density = laplace_density(
@@ -292,10 +313,13 @@ def neat_forward(
         return out
 
     # ----- attraction field ------------------------------------------------
-    lines3d = attraction_forward(
-        params["attraction"], points_flat, grads, dirs_flat, feats, cfg.attraction,
-        compute_dtype=fdtype,
-    ).reshape(n_rays, n_samples, 2, 3)
+    if use_fused_field:
+        lines3d = lines3d_flat.reshape(n_rays, n_samples, 2, 3)
+    else:
+        lines3d = attraction_forward(
+            params["attraction"], points_flat, grads, dirs_flat, feats,
+            cfg.attraction, compute_dtype=fdtype,
+        ).reshape(n_rays, n_samples, 2, 3)
     w_for_lines = (
         jax.lax.stop_gradient(weights) if cfg.detach_line_weights else weights
     )

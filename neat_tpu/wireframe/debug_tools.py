@@ -1,0 +1,226 @@
+"""Distillation debug tools (reference code/evaluation/wireframe-debug.py
+and code/evaluation/debug.py).
+
+Both reference scripts are interactive one-off probes of the trained
+attraction field:
+
+  * ``softmax_distill`` — per-GT-line-label softmax-weighted 3D line means
+    with endpoint-order correction (wireframe-debug.py:96-130): for each
+    detected 2D line, evaluate the field on its support pixels, keep
+    renders within sqrt(10) px, softmax(-distance)-weight the 3D segments
+    and average. The reference ends in a pdb prompt; here the per-view
+    results are returned and optionally written to npz.
+  * ``debug_recon`` — the chunked per-view dump (debug.py:100-219): writes
+    per-view support-mask PNGs plus per-label grouped lines3d / l3d points
+    / score arrays, the raw material for inspecting which detected lines
+    the field has learned.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+from collections import defaultdict
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..model.neat import NeatConfig
+from .finalize import view_field_lines
+
+
+def softmax_distill(
+    params,
+    cfg: NeatConfig,
+    scene,
+    view: int,
+    chunksize: int = 2048,
+    line_dis_threshold: float = 10.0,
+) -> Dict[str, np.ndarray]:
+    """Per-label softmax-weighted line means for one view (reference
+    wireframe-debug.py:96-130). Returns {lines3d (L, 2, 3), labels (L,)}."""
+    lines3d, lines2d, _, labels = view_field_lines(
+        params, cfg, scene, view, chunksize
+    )
+    nl = scene.n_lines[view]
+    gt5 = scene.lines[view][:nl]
+
+    out_lines, out_labels = [], []
+    for label in np.unique(labels):
+        idx = np.nonzero(labels == label)[0]
+        if label >= nl:
+            continue
+        gt = gt5[label][:4]
+        pred = lines2d[idx]
+        d1 = ((pred - gt[[0, 1, 2, 3]]) ** 2).sum(-1)
+        d2 = ((pred - gt[[2, 3, 0, 1]]) ** 2).sum(-1)
+        dis = np.minimum(d1, d2)
+        is_learned = dis < line_dis_threshold
+        if is_learned.sum() == 0:
+            continue
+        seg = lines3d[idx].copy()
+        swap = d2 < d1
+        seg[swap] = seg[swap][:, [1, 0]]
+        seg = seg[is_learned]
+        w = dis[is_learned]
+        w = np.exp(-(w - w.min()))
+        w = w / w.sum()
+        out_lines.append((seg * w[:, None, None]).sum(axis=0))
+        out_labels.append(label)
+
+    if not out_lines:
+        return {
+            "lines3d": np.zeros((0, 2, 3), np.float32),
+            "labels": np.zeros((0,), np.int64),
+        }
+    return {
+        "lines3d": np.stack(out_lines),
+        "labels": np.asarray(out_labels),
+    }
+
+
+def debug_recon(
+    params,
+    cfg: NeatConfig,
+    scene,
+    out_dir: str,
+    chunksize: int = 2048,
+    line_dis_threshold: float = 10.0,
+    write_masks: bool = True,
+    verbose: bool = True,
+) -> Dict[str, np.ndarray]:
+    """Per-view distillation dump (reference debug.py:100-219): support
+    mask images + per-label grouped segments with support scores."""
+    os.makedirs(out_dir, exist_ok=True)
+    mask_dir = osp.join(out_dir, "masks")
+    if write_masks:
+        os.makedirs(mask_dir, exist_ok=True)
+
+    lines3d_all, points3d_all, scores_all, cameras = [], [], [], []
+    h, w = scene.img_res
+    for view in range(scene.n_images):
+        if write_masks:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            im = scene.mask[view].reshape(h, w).astype(np.uint8) * 255
+            plt.imsave(osp.join(mask_dir, f"{view:04d}.png"), im, cmap="gray")
+
+        lines3d, lines2d, l3d, labels = view_field_lines(
+            params, cfg, scene, view, chunksize
+        )
+        nl = scene.n_lines[view]
+        gt5 = scene.lines[view][:nl]
+        view_lines, view_points, view_scores = [], [], []
+        for label in np.unique(labels):
+            if label >= nl:
+                continue
+            idx = np.nonzero(labels == label)[0]
+            gt = gt5[label][:4]
+            pred = lines2d[idx]
+            d1 = ((pred - gt[[0, 1, 2, 3]]) ** 2).sum(-1)
+            d2 = ((pred - gt[[2, 3, 0, 1]]) ** 2).sum(-1)
+            dis = np.minimum(d1, d2)
+            keep = dis < line_dis_threshold
+            if keep.sum() == 0:
+                continue
+            seg = lines3d[idx][keep].mean(axis=0)
+            support = l3d[idx][keep]
+            denom = max(np.linalg.norm(seg[1] - seg[0]), 1e-6)
+            sdist = (
+                np.linalg.norm(
+                    np.cross(support - seg[0], support - seg[1]), axis=-1
+                )
+                / denom
+            )
+            view_lines.append(seg)
+            view_points.append(support.mean(axis=0))
+            view_scores.append(sdist.mean())
+        if view_lines:
+            lines3d_all.append(np.stack(view_lines))
+            points3d_all.append(np.stack(view_points))
+            scores_all.append(np.asarray(view_scores, dtype=np.float32))
+        cameras.append(scene.pose[view])
+        if verbose and view % 20 == 0:
+            total = sum(l.shape[0] for l in lines3d_all)
+            print(f"view {view}: {total} grouped lines so far")
+
+    result = {
+        "lines3d": (
+            np.concatenate(lines3d_all)
+            if lines3d_all
+            else np.zeros((0, 2, 3), np.float32)
+        ),
+        "points3d": (
+            np.concatenate(points3d_all)
+            if points3d_all
+            else np.zeros((0, 3), np.float32)
+        ),
+        "scores": (
+            np.concatenate(scores_all) if scores_all else np.zeros((0,), np.float32)
+        ),
+        "cameras": np.stack(cameras),
+    }
+    np.savez(osp.join(out_dir, "debug_lines.npz"), **result)
+    if verbose:
+        print(f"wrote {out_dir}/debug_lines.npz ({result['lines3d'].shape[0]} lines)")
+    return result
+
+
+def main(argv=None):
+    from ..train.config import load_experiment_config
+    from ..train.checkpoint import load_checkpoint
+    from ..data.datasets import load_scene
+
+    parser = argparse.ArgumentParser(
+        description="distillation debug dumps (reference wireframe-debug.py/debug.py)"
+    )
+    parser.add_argument("--conf", type=str, required=True,
+                        help="runconf.conf of a training run")
+    parser.add_argument("--checkpoint", default="latest", type=str)
+    parser.add_argument("--chunksize", default=2048, type=int)
+    parser.add_argument("--data_root", default="../data", type=str)
+    parser.add_argument("--mode", default="recon", choices=["recon", "softmax"])
+    parser.add_argument("--view", default=0, type=int,
+                        help="view index for --mode softmax")
+    parser.add_argument("--out", default=None, type=str)
+    args = parser.parse_args(argv)
+
+    assert osp.basename(args.conf) == "runconf.conf"
+    rundir = osp.dirname(args.conf)
+    cfg = load_experiment_config(args.conf)
+    state, _ = load_checkpoint(osp.join(rundir, "checkpoints"), args.checkpoint)
+
+    kind = cfg.dataset_kind
+    kwargs = dict(
+        data_dir=cfg.data_dir,
+        img_res=cfg.img_res,
+        data_root=args.data_root,
+        distance_threshold=1.0,
+        max_verts=cfg.model.max_verts,
+        line_detector=cfg.line_detector,
+    )
+    if kind in ("dtu", "scene"):
+        kwargs["scan_id"] = cfg.scan_id
+        scene = load_scene("dtu", **kwargs)
+    else:
+        scene = load_scene("blender", **kwargs)
+
+    out_dir = args.out or osp.join(rundir, "debug")
+    if args.mode == "recon":
+        debug_recon(state.params, cfg.model, scene, out_dir, chunksize=args.chunksize)
+    else:
+        res = softmax_distill(
+            state.params, cfg.model, scene, args.view, chunksize=args.chunksize
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        path = osp.join(out_dir, f"softmax_view{args.view:04d}.npz")
+        np.savez(path, **res)
+        print(f"wrote {path} ({res['lines3d'].shape[0]} lines)")
+
+
+if __name__ == "__main__":
+    main()
