@@ -48,6 +48,10 @@ def main():
     backend = jax.devices()[0].platform.lower()
     if supports_fused_sdf(cfg.implicit) and backend in ("tpu", "axon"):
         cfg = dataclasses.replace(cfg, use_pallas_sampler=True)
+    # bf16 main-pass field compute: training-parity validated (RESULTS.md
+    # 100-epoch A/B: +0.01 dB mean PSNR gap vs f32) and the config the
+    # shipped quality run was trained with
+    cfg = dataclasses.replace(cfg, field_compute_dtype="bfloat16")
     img_res = (512, 512)
     hw = img_res[0] * img_res[1]
     n_views = 4  # keep synthetic scene small; per-step work is view-count free

@@ -427,11 +427,112 @@ def load_scannet_scene(
     return scene
 
 
+def attach_line_depth_cues(
+    scene: SceneData,
+    lines_npz: str,
+    n_points: int = 32,
+    match_threshold: float = 10.0,
+    score_threshold: float = 0.05,
+) -> SceneData:
+    """3D-line-conditioned depth supervision (reference
+    scene_line_dataset.py:96-119 / scene_line_depth_dataset.py:95-129).
+
+    Loads a precomputed ``lines3d`` npz (e.g. a previous NEAT distillation
+    or COLMAP line reconstruction), and per view: projects every 3D line,
+    matches each detected 2D line to its closest projection
+    (endpoint-order min, < ``match_threshold`` px^2), samples ``n_points``
+    along each matched 3D segment in the camera frame, and records the
+    camera-space depth at the pixel each sample lands on.
+
+    Deviation (documented): the reference datasets emit these samples as
+    loose ``(pts2d, z, weight)`` arrays under keys no model or loss ever
+    consumes (verified by grep over code/model — ``sample['pts']`` is
+    dead). Here the same quantities are rasterized into per-pixel sparse
+    maps ``scene.depth`` (0 = no cue, nearest-sample-wins) so the
+    existing spd/rpd depth losses (C33) can actually supervise them.
+    """
+    raw = np.load(lines_npz, allow_pickle=True)["lines3d"]
+    if raw.dtype == object:
+        lines3d = np.concatenate([np.asarray(t) for t in raw], axis=0)
+    else:
+        lines3d = raw.reshape(-1, 2, 3)
+    lines3d = lines3d.astype(np.float64)
+
+    h, w = scene.img_res
+    depth_maps = np.zeros((scene.n_images, h * w), dtype=np.float32)
+    t = np.linspace(0.0, 1.0, n_points)[None, :, None]
+
+    for view in range(scene.n_images):
+        k3 = scene.intrinsics[view][:3, :3].astype(np.float64)
+        w2c = np.linalg.inv(scene.pose[view].astype(np.float64))
+        r, tr = w2c[:3, :3], w2c[:3, 3]
+
+        cam_pts = lines3d.reshape(-1, 3) @ r.T + tr
+        proj = cam_pts @ k3.T
+        z = proj[:, 2:]
+        z = np.where(np.abs(z) < 1e-8, 1e-8, z)
+        l2d = (proj[:, :2] / z).reshape(-1, 4)
+
+        nl = scene.n_lines[view]
+        det = scene.lines[view][:nl]
+        det = det[det[:, 4] > score_threshold]
+        if det.shape[0] == 0:
+            continue
+        d1 = ((l2d[:, None] - det[None, :, :4]) ** 2).sum(-1)
+        d2 = ((l2d[:, None] - det[None, :, [2, 3, 0, 1]]) ** 2).sum(-1)
+        dis = np.minimum(d1, d2)  # (N3d, Ld)
+        mindis = dis.min(axis=0)
+        minidx = dis.argmin(axis=0)
+        avail = mindis < match_threshold
+        if avail.sum() == 0:
+            continue
+        sel = lines3d[minidx[avail]]  # (M, 2, 3) world
+
+        cam_lines = sel @ r.T + tr  # (M, 2, 3) camera frame
+        pts3d = cam_lines[:, :1] * t + cam_lines[:, 1:] * (1.0 - t)
+        pts3d = pts3d.reshape(-1, 3)
+        front = pts3d[:, 2] > 1e-6
+        pts3d = pts3d[front]
+        if pts3d.shape[0] == 0:
+            continue
+        pix = pts3d @ k3.T
+        uv = pix[:, :2] / pix[:, 2:]
+        xi = np.round(uv[:, 0]).astype(np.int64)
+        yi = np.round(uv[:, 1]).astype(np.int64)
+        ok = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        flat = yi[ok] * w + xi[ok]
+        depth = pts3d[ok, 2].astype(np.float32)
+        # nearest sample wins on collisions
+        order = np.argsort(-depth)
+        depth_maps[view][flat[order]] = depth[order]
+
+    scene.depth = depth_maps
+    return scene
+
+
+def load_scene_line_scene(
+    lines_npz: str,
+    depth_match_threshold: float = 10.0,
+    depth_points_per_line: int = 32,
+    **kwargs,
+) -> SceneData:
+    """DTU-convention scene + precomputed-3D-line depth conditioning
+    (reference scene_line_dataset.py / scene_line_depth_dataset.py)."""
+    scene = load_dtu_scene(**kwargs)
+    return attach_line_depth_cues(
+        scene,
+        lines_npz,
+        n_points=depth_points_per_line,
+        match_threshold=depth_match_threshold,
+    )
+
+
 _LOADERS = {
     "blender": load_blender_scene,
     "abc": load_blender_scene,
     "dtu": load_dtu_scene,
     "scene": load_dtu_scene,
+    "scene_line": load_scene_line_scene,
     "scannet": load_scannet_scene,
 }
 

@@ -162,7 +162,16 @@ def neat_loss(
         if cfg.depth_loss_kind == "ssi":
             depth_loss = scale_shift_invariant_loss(pred, gt_d)
         else:
-            depth_loss = jnp.mean(jnp.abs(pred - gt_d))
+            # sparse cues use 0 = "no depth available"; the reference spd
+            # loss masks them out (loss_wfr_spd.py:49-55)
+            valid = gt_d > 0
+            n_valid = jnp.sum(valid)
+            depth_loss = jnp.where(
+                n_valid > 0,
+                jnp.sum(jnp.where(valid, jnp.abs(pred - gt_d), 0.0))
+                / jnp.maximum(n_valid, 1),
+                0.0,
+            )
         loss = loss + cfg.depth_weight * depth_loss
         stats["depth_loss"] = depth_loss
 

@@ -84,6 +84,10 @@ class NeatConfig:
     # terms on the attraction-support batch
     dual_batch: bool = False
     dbscan_enabled: bool = False
+    # rend_c variant: concatenate the decoded global junctions into the
+    # endpoint set before DBSCAN clustering (the only behavioral delta of
+    # reference neat_wfr_rend_c.py:427-433 vs rend_a)
+    dbscan_include_global: bool = False
     use_median: bool = True
     use_l3d: bool = False
     junction_eikonal: bool = False
@@ -379,8 +383,15 @@ def neat_forward(
         # ----- junction proposals (padded) --------------------------------
         endpoints = jax.lax.stop_gradient(lines3d).reshape(-1, 3)  # (2R, 3)
         if cfg.dbscan_enabled:
+            cluster_input = endpoints
+            if cfg.dbscan_include_global:
+                # rend_c: global junctions join the endpoint cloud before
+                # clustering (neat_wfr_rend_c.py:427-433)
+                cluster_input = jnp.concatenate(
+                    [endpoints, jax.lax.stop_gradient(junctions3d_global)], axis=0
+                )
             proposals, prop_mask = dbscan_cluster_means(
-                endpoints, eps=0.01, min_samples=2
+                cluster_input, eps=0.01, min_samples=2
             )
         elif cfg.use_l3d:
             med = jnp.maximum(_masked_median(l3d_score, jnp.ones_like(l3d_score, bool)), 0.01)

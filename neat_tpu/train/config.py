@@ -176,8 +176,8 @@ _DATASET_CLASS_MAP = {
     "datasets.blender_dataset.BlenderDataset": "blender_plain",
     "datasets.scene_dataset.SceneDataset": "dtu_plain",
     "datasets.scannet_hawp_dataset.ScanNetDataset": "scannet",
-    "datasets.scene_line_dataset.SceneDataset": "dtu",
-    "datasets.scene_line_depth_dataset.SceneDataset": "dtu",
+    "datasets.scene_line_dataset.SceneDataset": "scene_line",
+    "datasets.scene_line_depth_dataset.SceneDataset": "scene_line",
 }
 
 # model_class -> variant flag overrides (the reference's ablation model
@@ -186,7 +186,7 @@ _MODEL_CLASS_MAP: Dict[str, Dict[str, Any]] = {
     "model.networks.neat_wfr_rend_a.VolSDFNetwork": {},
     "model.networks.neat_wfr_rend.VolSDFNetwork": {"detach_line_weights": False},
     "model.networks.neat_wfr_rend_b.VolSDFNetwork": {"_attraction_mode": "no_view"},
-    "model.networks.neat_wfr_rend_c.VolSDFNetwork": {},
+    "model.networks.neat_wfr_rend_c.VolSDFNetwork": {"dbscan_include_global": True},
     "model.networks.neat_wfr.VolSDFNetwork": {"_attraction_mode": "no_view"},
     "model.networks.neat_wfr_a.VolSDFNetwork": {"_attraction_mode": "no_view"},
     "model.networks.neat_uni.VolSDFNetwork": {"sampler_kind": "uniform"},
@@ -233,6 +233,8 @@ class ExperimentConfig:
     distance_threshold: float = 10.0
     line_detector: str = "hawp"
     depth_dir: Optional[str] = None
+    # precomputed-3D-line conditioning (scene_line datasets)
+    lines_npz: Optional[str] = None
     # plot block
     plot_nimgs: int = 1
     plot_resolution: int = 100
@@ -390,6 +392,7 @@ def build_experiment_config(
         distance_threshold=float(ds.get("distance_threshold", 10.0)),
         line_detector=ds.get("line_detector", "hawp"),
         depth_dir=ds.get("depth_dir"),
+        lines_npz=ds.get("lines_npz"),
         plot_nimgs=int(pl.get("plot_nimgs", 1)),
         plot_resolution=int(pl.get("resolution", 100)),
         grid_boundary=_seq(pl.get("grid_boundary"), (-1.5, 1.5)),

@@ -242,6 +242,10 @@ class TrainRunner:
             kwargs["scan_id"] = self.cfg.scan_id
             kwargs["depth_dir"] = self.cfg.depth_dir
             return load_scene("dtu", **kwargs)
+        if kind == "scene_line":
+            kwargs["scan_id"] = self.cfg.scan_id
+            kwargs["lines_npz"] = self.cfg.lines_npz
+            return load_scene("scene_line", **kwargs)
         if kind == "scannet":
             return load_scene(
                 "scannet",

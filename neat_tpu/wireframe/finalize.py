@@ -376,7 +376,9 @@ def wireframe_recon(
         max_verts=cfg.model.max_verts,
         line_detector=cfg.line_detector,
     )
-    if kind in ("dtu", "scene"):
+    if kind in ("dtu", "scene", "scene_line"):
+        # scene_line trains with extra depth cues; finalization needs only
+        # the DTU-convention geometry + wireframes
         kwargs["scan_id"] = cfg.scan_id
         scene = load_scene("dtu", **kwargs)
     else:

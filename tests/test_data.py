@@ -4,6 +4,7 @@ import json
 import os.path as osp
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from neat_tpu.data.wireframe import WireframeGraph
@@ -132,3 +133,64 @@ class TestBlenderScene:
         pix = scene.support_idx[i][:100]
         labels = scene.labels[i][pix]
         assert (labels < scene.n_lines[i]).all()
+
+
+class TestSceneLineDepthCues:
+    """3D-line-conditioned depth supervision (reference
+    scene_line_dataset.py / scene_line_depth_dataset.py -> scene_line
+    loader kind)."""
+
+    def test_attach_cues_on_synthetic_dtu(self, tmp_path):
+        import json
+
+        from neat_tpu.data.synthetic import generate_scene
+        from neat_tpu.data.datasets import load_scene
+
+        d = tmp_path / "sl"
+        generate_scene(str(d / "toy" / "scan1"), n_views=4, res=(64, 64),
+                       convention="dtu")
+        # precomputed 3D lines = the GT wireframe itself
+        with open(d / "toy" / "scan1" / "lines.json") as f:
+            gt = json.load(f)
+        j = np.asarray(gt["junctions"], dtype=np.float32)
+        lines3d = j[np.asarray(gt["lines"], dtype=np.int64)]
+        npz = d / "lines3d.npz"
+        np.savez(npz, lines3d=lines3d)
+
+        scene = load_scene(
+            "scene_line",
+            lines_npz=str(npz),
+            data_dir="toy",
+            img_res=(64, 64),
+            scan_id=1,
+            data_root=str(d),
+            distance_threshold=3.0,
+            max_verts=16,
+        )
+        assert scene.depth is not None and scene.depth.shape == (4, 64 * 64)
+        # cues are sparse but present, positive where set
+        n_cues = (scene.depth > 0).sum()
+        assert n_cues > 0
+        pos = scene.depth[scene.depth > 0]
+        assert (pos > 0.1).all() and (pos < 10.0).all()
+
+    def test_depth_loss_masks_empty_pixels(self):
+        from neat_tpu.model.loss import LossConfig, neat_loss
+
+        cfg = LossConfig(depth_weight=0.1, line_weight=0.0,
+                         junction_3d_weight=0.0, junction_2d_weight=0.0)
+        n = 8
+        outputs = {
+            "rgb_values": jnp.zeros((n, 3)),
+            "depth": jnp.full((n,), 5.0),
+            "grad_theta": jnp.ones((n, 3)),
+        }
+        gt_depth = jnp.zeros((n,)).at[0].set(2.0)  # one valid cue
+        gt = {"rgb": jnp.zeros((n, 3)), "depth": gt_depth}
+        stats = neat_loss(outputs, gt, cfg)
+        # only the one valid pixel contributes: |5-2| = 3
+        np.testing.assert_allclose(float(stats["depth_loss"]), 3.0, atol=1e-5)
+        # all-invalid -> zero loss, no nan
+        gt["depth"] = jnp.zeros((n,))
+        stats = neat_loss(outputs, gt, cfg)
+        assert float(stats["depth_loss"]) == 0.0

@@ -97,6 +97,21 @@ class TestForward:
         out = neat_forward(params, make_inputs(), cfg, jax.random.PRNGKey(1))
         assert np.isfinite(np.asarray(out["j3d_local"])).all()
 
+    def test_rend_c_variant(self):
+        """dbscan_include_global (reference neat_wfr_rend_c.py:427-433):
+        the decoded global junctions join the endpoint cloud before
+        clustering, so the proposal set is larger by num_junctions."""
+        cfg_a = tiny_cfg(dbscan_enabled=True)
+        cfg_c = tiny_cfg(dbscan_enabled=True, dbscan_include_global=True)
+        params = init_neat(jax.random.PRNGKey(0), cfg_c)
+        out_a = neat_forward(params, make_inputs(), cfg_a, jax.random.PRNGKey(1))
+        out_c = neat_forward(params, make_inputs(), cfg_c, jax.random.PRNGKey(1))
+        assert np.isfinite(np.asarray(out_c["j3d_local"])).all()
+        # rend_c clusters over 2R + num_junctions points (static shape)
+        n_extra = cfg_c.junctions.num_junctions
+        # both produce per-vert assignments of the same padded size
+        assert out_c["j3d_local"].shape == out_a["j3d_local"].shape
+
 
 class TestLossAndGrad:
     @pytest.mark.slow
