@@ -72,10 +72,11 @@ def auction_assignment(
     col_mask: jnp.ndarray,
     n_iters: int = 256,
     eps: Optional[float] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Jacobi auction on a (R, C) cost matrix with validity masks.
 
-    Returns (col_for_row (R,) int32, valid (R,) bool). Minimizes cost.
+    Returns (col_for_row (R,) int32, valid (R,) bool, iterations int32).
+    Minimizes cost.
     The loop is bounded by ``n_iters``; when live rows outnumber live
     columns the surplus rows end unassigned (valid=False), mirroring the
     min(n, m)-sized Hungarian output.
@@ -141,10 +142,10 @@ def auction_assignment(
         jnp.full((n_cols,), -1, dtype=jnp.int32),
         jnp.full((n_rows,), -1, dtype=jnp.int32),
     )
-    _, _, _, col_of_row = jax.lax.while_loop(cond, body, init)
+    it, _, _, col_of_row = jax.lax.while_loop(cond, body, init)
     safe_col = jnp.where(col_of_row >= 0, col_of_row, 0)
     valid = row_mask & (col_of_row >= 0) & col_mask[safe_col]
-    return jnp.where(valid, col_of_row, 0).astype(jnp.int32), valid
+    return jnp.where(valid, col_of_row, 0).astype(jnp.int32), valid, it
 
 
 def masked_assignment(
@@ -164,5 +165,6 @@ def masked_assignment(
     if method == "callback":
         return hungarian_callback(cost, row_mask, col_mask)
     elif method == "auction":
-        return auction_assignment(cost, row_mask, col_mask)
+        col, valid, _ = auction_assignment(cost, row_mask, col_mask)
+        return col, valid
     raise ValueError(f"unknown assignment method: {method}")

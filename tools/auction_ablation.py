@@ -1,0 +1,185 @@
+"""Auction-vs-Hungarian ablation on REAL training-scale cost matrices.
+
+The training step replaces the reference's mid-step scipy Hungarian
+(reference neat_wfr_rend_a.py:473) with an on-device Jacobi auction
+(assignment/matching.py). This tool measures, at the flagship training
+scale (max_verts x 2R proposals, e.g. 512 x 2048 on ABC), on cost
+matrices captured from an actual trained checkpoint and the actual
+per-step batch sampling:
+
+  * suboptimality: (auction matched cost - optimal) / optimal;
+  * downstream agreement: the training step consumes the assignment only
+    through assigned_cost -> median gate -> keep mask and the matched
+    proposal targets; report keep-mask agreement and median gap;
+  * iterations to converge, vs the n_iters=256 bound.
+
+Usage:
+    python tools/auction_ablation.py --rundir <exp rundir> \
+        --data_root /root/reference/data [--steps 8] [--out table.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import numpy as np
+
+
+def capture_cost_matrices(rundir, data_root, n_steps, checkpoint="latest"):
+    import jax
+    import jax.numpy as jnp
+
+    from neat_tpu.train.config import load_experiment_config
+    from neat_tpu.train.checkpoint import load_checkpoint
+    from neat_tpu.train.step import sample_batch
+    from neat_tpu.train.runner import scene_to_device
+    from neat_tpu.data.datasets import load_scene
+    from neat_tpu.model.neat import neat_forward
+    from neat_tpu.core.camera import project2d
+
+    cfg = load_experiment_config(osp.join(rundir, "runconf.conf"))
+    state, epoch = load_checkpoint(osp.join(rundir, "checkpoints"), checkpoint)
+    print(f"checkpoint epoch {epoch}, max_verts={cfg.model.max_verts}")
+
+    kwargs = dict(
+        data_dir=cfg.data_dir,
+        img_res=cfg.img_res,
+        data_root=data_root,
+        distance_threshold=cfg.distance_threshold,
+        max_verts=cfg.model.max_verts,
+        line_detector=cfg.line_detector,
+    )
+    if cfg.dataset_kind in ("dtu", "scene", "scene_line"):
+        kwargs["scan_id"] = cfg.scan_id
+        scene = load_scene("dtu", **kwargs)
+    else:
+        scene = load_scene("blender", **kwargs)
+    scene_dev = scene_to_device(scene)
+
+    mats = []
+    for i in range(n_steps):
+        rng = jax.random.fold_in(jax.random.PRNGKey(123), i)
+        r_batch, r_fwd = jax.random.split(rng)
+        inputs, _ = sample_batch(
+            r_batch, scene_dev, cfg.num_pixels, scene.img_res[1]
+        )
+        out = neat_forward(state.params, inputs, cfg.model, r_fwd, training=True)
+        # rebuild the proposal cost exactly as neat_forward does
+        # (model/neat.py junction-proposal block)
+        endpoints = np.asarray(out["lines3d"]).reshape(-1, 3)
+        pose = np.asarray(inputs["pose"])
+        w2c = np.linalg.inv(pose)
+        k3 = np.asarray(inputs["intrinsics"])[:3, :3]
+        j2d = np.asarray(
+            project2d(
+                jnp.asarray(k3),
+                jnp.asarray(w2c[:3, :3]),
+                jnp.asarray(w2c[:3, 3]),
+                jnp.asarray(endpoints),
+            )
+        )
+        verts2d = np.asarray(inputs["verts2d"])
+        verts_mask = np.asarray(inputs["verts_mask"])
+        jcost = np.sqrt(((j2d[None] - verts2d[:, None]) ** 2).sum(-1) + 1e-12)
+        mats.append((jcost.astype(np.float32), verts_mask))
+        print(f"  captured step {i}: cost {jcost.shape}, live rows {verts_mask.sum()}")
+    return mats
+
+
+def evaluate(mats, n_iters_list=(32, 64, 128, 256)):
+    import jax.numpy as jnp
+    from scipy.optimize import linear_sum_assignment
+
+    from neat_tpu.assignment.matching import auction_assignment
+
+    rows = []
+    for n_iters in n_iters_list:
+        subopts, iters_used, keep_agree, med_gaps = [], [], [], []
+        for jcost, row_mask in mats:
+            col_mask = np.ones(jcost.shape[1], dtype=bool)
+            col, valid, it = auction_assignment(
+                jnp.asarray(jcost),
+                jnp.asarray(row_mask),
+                jnp.asarray(col_mask),
+                n_iters=n_iters,
+            )
+            col, valid, it = np.asarray(col), np.asarray(valid), int(it)
+
+            live = np.nonzero(row_mask)[0]
+            ri, ci = linear_sum_assignment(jcost[live])
+            opt_cost = jcost[live][ri, ci].sum()
+            auc_cost = jcost[live, col[live]][valid[live]].sum()
+            # unassigned live rows (shouldn't happen with R<C) count worst-case
+            n_unassigned = int((~valid[live]).sum())
+            subopt = (auc_cost - opt_cost) / max(opt_cost, 1e-9)
+            subopts.append(subopt)
+            iters_used.append(it)
+
+            # downstream: keep = cost < median over valid
+            def keep_mask(assigned_cost, vmask):
+                c = assigned_cost[vmask]
+                med = np.sort(c)[max((len(c) - 1) // 2, 0)] if len(c) else 10.0
+                keep = np.zeros_like(vmask)
+                keep[vmask] = assigned_cost[vmask] < med
+                return keep, med
+
+            ac_auction = jcost[np.arange(len(col)), col]
+            k_a, med_a = keep_mask(ac_auction, valid)
+            ac_opt = np.zeros(jcost.shape[0], dtype=np.float32)
+            v_opt = np.zeros(jcost.shape[0], dtype=bool)
+            ac_opt[live[ri]] = jcost[live][ri, ci]
+            v_opt[live[ri]] = True
+            k_o, med_o = keep_mask(ac_opt, v_opt)
+            keep_agree.append((k_a == k_o)[row_mask].mean())
+            med_gaps.append(abs(med_a - med_o))
+        rows.append(
+            dict(
+                n_iters=n_iters,
+                subopt_mean=float(np.mean(subopts)),
+                subopt_max=float(np.max(subopts)),
+                iters_mean=float(np.mean(iters_used)),
+                iters_max=int(np.max(iters_used)),
+                keep_agree=float(np.mean(keep_agree)),
+                median_gap=float(np.mean(med_gaps)),
+                unassigned=n_unassigned,
+            )
+        )
+    return rows
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--rundir", required=True)
+    parser.add_argument("--data_root", default="../data")
+    parser.add_argument("--checkpoint", default="latest")
+    parser.add_argument("--steps", type=int, default=8)
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args(argv)
+
+    mats = capture_cost_matrices(
+        args.rundir, args.data_root, args.steps, args.checkpoint
+    )
+    rows = evaluate(mats)
+    lines = [
+        "| n_iters | subopt mean | subopt max | iters used (mean/max) | keep-mask agree | median gap |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['n_iters']} | {r['subopt_mean']:.2e} | {r['subopt_max']:.2e} "
+            f"| {r['iters_mean']:.0f}/{r['iters_max']} | {r['keep_agree']:.4f} "
+            f"| {r['median_gap']:.2e} |"
+        )
+    table = "\n".join(lines)
+    print(table)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(table + "\n")
+
+
+if __name__ == "__main__":
+    main()
