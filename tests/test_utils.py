@@ -1,5 +1,8 @@
 """Tests for chunking, meters, plots, and the distillation helpers."""
 
+import os
+import os.path as osp
+
 import numpy as np
 
 from neat_tpu.utils.chunking import split_input, merge_output
@@ -82,3 +85,58 @@ class TestDistillHelpers:
         c = np.asarray([[[0, 2, 0], [1, 2, 0]]], np.float32)
         out = merge_wireframes([a, b, c], dedup_threshold=0.01)
         assert out.shape[0] == 2
+
+
+class TestViewerCapture:
+    """Pinhole capture / camera save-load / replay flows (reference
+    show.py:152-280, 368-413)."""
+
+    def _wireframe(self):
+        rng = np.random.RandomState(0)
+        return rng.randn(10, 2, 3).astype(np.float32) * 0.3
+
+    def test_camera_json_roundtrip(self, tmp_path):
+        from neat_tpu.viz.viewer import save_camera_json, load_camera_json
+
+        k3 = np.array([[500.0, 0, 256], [0, 500.0, 256], [0, 0, 1]])
+        w2c = np.eye(4)
+        w2c[:3, 3] = [0.1, -0.2, 3.0]
+        p = str(tmp_path / "cam_0000.json")
+        save_camera_json(p, k3, w2c, 512, 512)
+        k2, w2, wd, ht = load_camera_json(p)
+        np.testing.assert_allclose(k2, k3)
+        np.testing.assert_allclose(w2, w2c)
+        assert (wd, ht) == (512, 512)
+        # o3d schema: column-major flat matrices under the o3d keys
+        import json
+
+        payload = json.load(open(p))
+        assert payload["class_name"] == "PinholeCameraParameters"
+        assert len(payload["extrinsic"]) == 16
+        assert len(payload["intrinsic"]["intrinsic_matrix"]) == 9
+
+    def test_record_then_replay(self, tmp_path):
+        from neat_tpu.viz.viewer import capture_spherical_views, replay_views
+
+        lines = self._wireframe()
+        rec = str(tmp_path / "rec")
+        capture_spherical_views(lines, rec, n_frames=3, width=64, height=64,
+                                focal=60.0)
+        assert len([f for f in os.listdir(rec) if f.startswith("cam_")]) == 3
+        assert len([f for f in os.listdir(rec) if f.startswith("image_")]) == 3
+        out = str(tmp_path / "replay")
+        n = replay_views(lines, rec, out)
+        assert n == 3
+        assert osp.exists(out + ".gif")
+
+    def test_viewer_cli_record(self, tmp_path):
+        from neat_tpu.viz import viewer
+
+        npz = tmp_path / "wf-wfi.npz"
+        np.savez(npz, lines3d=self._wireframe())
+        out = str(tmp_path / "frames")
+        viewer.main([
+            "--data", str(npz), "--out", out, "--mode", "record",
+            "--frames", "2", "--show-junctions",
+        ])
+        assert len(os.listdir(out)) == 4  # 2 images + 2 cam jsons

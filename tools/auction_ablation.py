@@ -33,6 +33,10 @@ def capture_cost_matrices(rundir, data_root, n_steps, checkpoint="latest"):
     import jax
     import jax.numpy as jnp
 
+    from neat_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from neat_tpu.train.config import load_experiment_config
     from neat_tpu.train.checkpoint import load_checkpoint
     from neat_tpu.train.step import sample_batch
