@@ -147,9 +147,15 @@ def wireframe_from_lines_and_junctions(
     lines: np.ndarray,
     junctions: np.ndarray,
     rel_matching_distance_threshold: float = 0.0,
+    edge_vote_threshold: int = 1,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Snap line endpoints to nearest junctions -> adjacency + graph lines
-    (reference :134-156). lines (L,2,3), junctions (J,3)."""
+    (reference :134-156). lines (L,2,3), junctions (J,3).
+
+    ``edge_vote_threshold``: minimum number of distilled lines that must
+    snap to a junction pair for the edge to survive (the reference admits
+    an edge from a single line — the main source of spurious graph edges;
+    1 = reference parity)."""
     ep1, ep2 = lines[:, 0], lines[:, 1]
     c1 = np.linalg.norm(ep1[:, None] - junctions[None], axis=-1)
     c2 = np.linalg.norm(ep2[:, None] - junctions[None], axis=-1)
@@ -158,16 +164,49 @@ def wireframe_from_lines_and_junctions(
     is_matched = np.maximum(m1, m2) < np.linalg.norm(ep1 - ep2, axis=-1)
     if rel_matching_distance_threshold > 0:
         is_matched &= np.maximum(m1, m2) < rel_matching_distance_threshold
+    # degenerate snaps (both endpoints to the same junction) are not edges
+    is_matched &= i1 != i2
 
-    graph = np.zeros((junctions.shape[0], junctions.shape[0]), dtype=np.float32)
+    counts = np.zeros((junctions.shape[0], junctions.shape[0]), dtype=np.int64)
     if is_matched.sum() > 0:
         lo = np.minimum(i1, i2)[is_matched]
         hi = np.maximum(i1, i2)[is_matched]
-        graph[lo, hi] = 1
-        graph[hi, lo] = 1
+        np.add.at(counts, (lo, hi), 1)
+    graph = (counts >= max(edge_vote_threshold, 1)).astype(np.float32)
+    graph = np.maximum(graph, graph.T)
     iu, ju = np.nonzero(np.triu(graph))
     lines_wf = np.stack([junctions[iu], junctions[ju]], axis=1)
     return graph, lines_wf
+
+
+def merge_voted_junctions(
+    junctions: np.ndarray, votes: np.ndarray, eps: float
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Greedy vote-weighted merge of near-duplicate voted junctions:
+    process in descending-vote order; absorb all junctions within ``eps``
+    into the current one as a vote-weighted mean. Near-duplicates split
+    the one-to-one Hungarian matching of the ABC eval, so they cost
+    precision without adding recall."""
+    if junctions.shape[0] == 0 or eps <= 0:
+        return junctions, votes
+    order = np.argsort(-votes)
+    pts = junctions[order].astype(np.float64)
+    vts = votes[order].astype(np.float64)
+    used = np.zeros(len(pts), dtype=bool)
+    out_pts, out_votes = [], []
+    for i in range(len(pts)):
+        if used[i]:
+            continue
+        d = np.linalg.norm(pts - pts[i], axis=-1)
+        grp = (~used) & (d < eps)
+        used |= grp
+        w = vts[grp]
+        out_pts.append((pts[grp] * w[:, None]).sum(0) / w.sum())
+        out_votes.append(w.sum())
+    return (
+        np.asarray(out_pts, dtype=np.float32),
+        np.asarray(out_votes, dtype=np.int32),
+    )
 
 
 def initial_recon(
@@ -181,12 +220,67 @@ def initial_recon(
     sdf_junction_refine: bool = True,
     gt_line_threshold: float = 0.01,
     vote_threshold: int = 1,
+    junction_merge_eps: float = 0.0,
+    sdf_filter_threshold: float = 0.0,
+    edge_vote_threshold: int = 1,
     verbose: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Per-view field distillation + global-junction voting (reference
     :159-302). ``vote_threshold`` keeps junctions with more than that many
     endpoint votes (the reference hardcodes > 1 and flags it as a TODO
-    parameter at :293); raising it trades recall for precision."""
+    parameter at :293); raising it trades recall for precision.
+
+    Post-vote precision knobs (all default to reference parity = off):
+      ``junction_merge_eps``       vote-weighted merge of near-duplicate
+                                   voted junctions (duplicates split the
+                                   eval's one-to-one matching);
+      ``sdf_filter_threshold``     drop voted junctions whose refined
+                                   |sdf| exceeds it — the reference
+                                   computes exactly this mask but leaves
+                                   it dead (neat-final-parsing.py:176-184
+                                   ``is_valid``);
+      ``edge_vote_threshold``      minimum distilled-line support for a
+                                   graph edge (see
+                                   wireframe_from_lines_and_junctions).
+    """
+    distilled = distill_views(
+        params,
+        cfg,
+        scene,
+        chunksize=chunksize,
+        line_dis_threshold=line_dis_threshold,
+        junc_match_threshold=junc_match_threshold,
+        sdf_junction_refine=sdf_junction_refine,
+        gt_line_threshold=gt_line_threshold,
+        verbose=verbose,
+    )
+    return assemble_wireframe(
+        distilled,
+        params,
+        cfg,
+        line_score_threshold=line_score_threshold,
+        vote_threshold=vote_threshold,
+        junction_merge_eps=junction_merge_eps,
+        sdf_filter_threshold=sdf_filter_threshold,
+        edge_vote_threshold=edge_vote_threshold,
+    )
+
+
+def distill_views(
+    params,
+    cfg: NeatConfig,
+    scene,
+    chunksize: int = 2048,
+    line_dis_threshold: float = 10.0,
+    junc_match_threshold: float = 0.05,
+    sdf_junction_refine: bool = True,
+    gt_line_threshold: float = 0.01,
+    verbose: bool = True,
+) -> Dict[str, np.ndarray]:
+    """The expensive half of finalization: per-view field evaluation,
+    2D matching, per-detected-line averaging, and endpoint->junction
+    voting (reference :159-271). The result is assembly-knob-free, so
+    threshold sweeps (vote/merge/edge gates) reuse it."""
     from scipy.optimize import linear_sum_assignment
 
     if sdf_junction_refine:
@@ -270,7 +364,42 @@ def initial_recon(
 
     lines3d_all = np.concatenate(lines3d_all, axis=0)
     scores_all = np.concatenate(scores_all, axis=0)
-    lines3d_all = lines3d_all[scores_all < line_score_threshold]
+    votes_idx = np.asarray(
+        [k for k, v in gjc_votes.items() for _ in v], dtype=np.int32
+    )
+    votes_pts = (
+        np.asarray([p for v in gjc_votes.values() for p in v], dtype=np.float32)
+        if votes_idx.size
+        else np.zeros((0, 3), dtype=np.float32)
+    )
+    return {
+        "global_junctions": global_junctions,
+        "lines3d_raw": lines3d_all,
+        "scores_raw": scores_all,
+        "votes_idx": votes_idx,
+        "votes_pts": votes_pts,
+    }
+
+
+def assemble_wireframe(
+    distilled: Dict[str, np.ndarray],
+    params,
+    cfg: NeatConfig,
+    line_score_threshold: float = 0.01,
+    vote_threshold: int = 1,
+    junction_merge_eps: float = 0.0,
+    sdf_filter_threshold: float = 0.0,
+    edge_vote_threshold: int = 1,
+) -> Dict[str, np.ndarray]:
+    """The cheap half of finalization: score gate, vote gate, optional
+    precision post-processing, graph assembly (reference :272-302)."""
+    global_junctions = distilled["global_junctions"]
+    lines3d_all = distilled["lines3d_raw"][
+        distilled["scores_raw"] < line_score_threshold
+    ]
+    gjc_votes: Dict[int, list] = defaultdict(list)
+    for k, p in zip(distilled["votes_idx"], distilled["votes_pts"]):
+        gjc_votes[int(k)].append(p)
 
     voted = [k for k, v in gjc_votes.items() if len(v) > vote_threshold]
     junctions3d_initial = (
@@ -279,9 +408,27 @@ def initial_recon(
         else np.zeros((0, 3), dtype=np.float32)
     )
     vote_counts = np.asarray([len(gjc_votes[k]) for k in voted], dtype=np.int32)
+
+    if sdf_filter_threshold > 0 and junctions3d_initial.shape[0] > 0:
+        sdf_vals = np.asarray(
+            implicit_sdf(
+                params["implicit"], jnp.asarray(junctions3d_initial), cfg.implicit
+            )
+        )[:, 0]
+        keep = np.abs(sdf_vals) < sdf_filter_threshold
+        junctions3d_initial = junctions3d_initial[keep]
+        vote_counts = vote_counts[keep]
+    if junction_merge_eps > 0:
+        junctions3d_initial, vote_counts = merge_voted_junctions(
+            junctions3d_initial, vote_counts, junction_merge_eps
+        )
+
     if junctions3d_initial.shape[0] > 0 and lines3d_all.shape[0] > 0:
         graph_initial, lines3d_wfi = wireframe_from_lines_and_junctions(
-            lines3d_all, junctions3d_initial, rel_matching_distance_threshold=0
+            lines3d_all,
+            junctions3d_initial,
+            rel_matching_distance_threshold=0,
+            edge_vote_threshold=edge_vote_threshold,
         )
     else:
         graph_initial = np.zeros((0, 0), dtype=np.float32)
@@ -342,6 +489,9 @@ def wireframe_recon(
     ckview: int = 5,
     junc_match_threshold: float = 0.02,
     vote_threshold: int = 1,
+    junction_merge_eps: float = 0.0,
+    sdf_filter_threshold: float = 0.0,
+    edge_vote_threshold: int = 1,
     sdf_junction_refine: bool = True,
     overwrite: bool = False,
     data_root: str = "../data",
@@ -387,41 +537,75 @@ def wireframe_recon(
     wireframe_dir = osp.join(rundir, "wireframes")
     os.makedirs(wireframe_dir, exist_ok=True)
 
-    sha256 = make_hash_sha256(
+    # two-level caching: the expensive per-view distillation is keyed by
+    # its own knobs only, so assembly-threshold sweeps (vote/merge/edge
+    # gates) reuse it; the assembled outputs carry the full-knob hash
+    distill_sha = make_hash_sha256(
         {
             "conf": conf,
             "checkpoint": checkpoint,
             "distance": distance,
+            "junc_match_threshold": junc_match_threshold,
             "sdf_junction_refine": sdf_junction_refine,
         }
     )[:8].replace("/", "n")
-    out_base = f"{checkpoint}-{sha256}"
-    pth_path = osp.join(wireframe_dir, f"{out_base}-neat.pkl")
-
-    if osp.exists(pth_path) and not overwrite:
-        with open(pth_path, "rb") as f:
-            results = pickle.load(f)
+    distill_path = osp.join(
+        wireframe_dir, f"{checkpoint}-{distill_sha}-distill.pkl"
+    )
+    if osp.exists(distill_path) and not overwrite:
+        with open(distill_path, "rb") as f:
+            distilled = pickle.load(f)
     else:
-        results = initial_recon(
+        distilled = distill_views(
             params,
             cfg.model,
             scene,
             chunksize=chunksize,
             line_dis_threshold=distance,
             junc_match_threshold=junc_match_threshold,
-            vote_threshold=vote_threshold,
             sdf_junction_refine=sdf_junction_refine,
             verbose=verbose,
         )
-        results["kwargs"] = {
+        with open(distill_path, "wb") as f:
+            pickle.dump(distilled, f)
+
+    sha256 = make_hash_sha256(
+        {
             "conf": conf,
             "checkpoint": checkpoint,
             "distance": distance,
-            "ckdist": ckdist,
-            "ckview": ckview,
-            "junc_match_threshold": junc_match_threshold,
-            "epoch": epoch,
+            "sdf_junction_refine": sdf_junction_refine,
+            "vote_threshold": vote_threshold,
+            "junction_merge_eps": junction_merge_eps,
+            "sdf_filter_threshold": sdf_filter_threshold,
+            "edge_vote_threshold": edge_vote_threshold,
         }
+    )[:8].replace("/", "n")
+    out_base = f"{checkpoint}-{sha256}"
+    pth_path = osp.join(wireframe_dir, f"{out_base}-neat.pkl")
+
+    results = assemble_wireframe(
+        distilled,
+        params,
+        cfg.model,
+        vote_threshold=vote_threshold,
+        junction_merge_eps=junction_merge_eps,
+        sdf_filter_threshold=sdf_filter_threshold,
+        edge_vote_threshold=edge_vote_threshold,
+    )
+    results["kwargs"] = {
+        "conf": conf,
+        "checkpoint": checkpoint,
+        "distance": distance,
+        "ckdist": ckdist,
+        "ckview": ckview,
+        "junc_match_threshold": junc_match_threshold,
+        "vote_threshold": vote_threshold,
+        "junction_merge_eps": junction_merge_eps,
+        "sdf_filter_threshold": sdf_filter_threshold,
+        "edge_vote_threshold": edge_vote_threshold,
+        "epoch": epoch,
+    }
 
     results["lines3d_wfi_checked"] = visibility_checking(
         results["lines3d_wfi"], scene, mindis_th=ckdist, min_visible_views=ckview
@@ -461,6 +645,19 @@ def main(argv=None):
     parser.add_argument("--vote-threshold", default=1, type=int, dest="vote_threshold",
                         help="keep junctions with more than this many votes "
                         "(reference hardcodes 1; higher = more precision)")
+    parser.add_argument("--junction-merge-eps", default=0.0, type=float,
+                        dest="junction_merge_eps",
+                        help="vote-weighted merge radius for near-duplicate "
+                        "voted junctions (0 = reference parity)")
+    parser.add_argument("--sdf-filter", default=0.0, type=float,
+                        dest="sdf_filter_threshold",
+                        help="drop voted junctions with |sdf| above this "
+                        "(the reference's dead is_valid mask made live; "
+                        "0 = reference parity)")
+    parser.add_argument("--edge-vote-threshold", default=1, type=int,
+                        dest="edge_vote_threshold",
+                        help="min distilled-line support for a graph edge "
+                        "(1 = reference parity)")
     parser.add_argument("--data_root", default="../data", type=str)
     args = parser.parse_args(argv)
 
@@ -475,6 +672,9 @@ def main(argv=None):
         sdf_junction_refine=not args.disable_junction_refine,
         junc_match_threshold=args.junc_match_threshold,
         vote_threshold=args.vote_threshold,
+        junction_merge_eps=args.junction_merge_eps,
+        sdf_filter_threshold=args.sdf_filter_threshold,
+        edge_vote_threshold=args.edge_vote_threshold,
         data_root=args.data_root,
     )
 

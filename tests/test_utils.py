@@ -140,3 +140,50 @@ class TestViewerCapture:
             "--frames", "2", "--show-junctions",
         ])
         assert len(os.listdir(out)) == 4  # 2 images + 2 cam jsons
+
+
+class TestFinalizePostProcessing:
+    """Post-vote precision knobs (finalize.py): junction merge, edge vote
+    gating. All default-off = reference parity."""
+
+    def test_merge_voted_junctions(self):
+        from neat_tpu.wireframe.finalize import merge_voted_junctions
+
+        j = np.array(
+            [[0.0, 0, 0], [0.004, 0, 0], [1.0, 0, 0], [0.0, 0.003, 0]],
+            dtype=np.float32,
+        )
+        votes = np.array([5, 2, 3, 1], dtype=np.int32)
+        merged, mvotes = merge_voted_junctions(j, votes, eps=0.01)
+        assert merged.shape == (2, 3)
+        # vote-weighted mean of the 3-cluster; votes summed
+        assert sorted(mvotes.tolist()) == [3, 8]
+        big = merged[np.argmax(mvotes)]
+        expect = (j[0] * 5 + j[1] * 2 + j[3] * 1) / 8.0
+        np.testing.assert_allclose(big, expect, atol=1e-6)
+        # eps=0 is a no-op (parity)
+        same, sv = merge_voted_junctions(j, votes, eps=0.0)
+        assert same.shape == (4, 3)
+
+    def test_edge_vote_threshold(self):
+        from neat_tpu.wireframe.finalize import wireframe_from_lines_and_junctions
+
+        junctions = np.array(
+            [[0.0, 0, 0], [1.0, 0, 0], [0.0, 1.0, 0]], dtype=np.float32
+        )
+        # two lines support edge (0,1); one line supports edge (0,2)
+        lines = np.array(
+            [
+                [[0.01, 0, 0], [0.99, 0, 0]],
+                [[-0.01, 0, 0], [1.01, 0, 0]],
+                [[0.0, 0.02, 0], [0.0, 0.98, 0]],
+            ],
+            dtype=np.float32,
+        )
+        g1, wf1 = wireframe_from_lines_and_junctions(lines, junctions)
+        assert wf1.shape[0] == 2  # parity: both edges
+        g2, wf2 = wireframe_from_lines_and_junctions(
+            lines, junctions, edge_vote_threshold=2
+        )
+        assert wf2.shape[0] == 1  # only the doubly-supported edge
+        np.testing.assert_allclose(wf2[0], junctions[[0, 1]])
