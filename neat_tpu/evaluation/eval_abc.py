@@ -63,12 +63,16 @@ def eval_abc(
     thresholds: Sequence[float] = THRESHOLDS,
     verbose: bool = True,
 ) -> Dict[str, list]:
-    """data: the finalization -neat.pkl result; scan_dir: ABC scene dir
-    with lines.json (+ optional offset_scale.txt)."""
+    """data: the finalization -neat.pkl result (path, or the already-
+    loaded results dict); scan_dir: ABC scene dir with lines.json
+    (+ optional offset_scale.txt)."""
     from scipy.optimize import linear_sum_assignment
 
-    with open(data, "rb") as f:
-        results = pickle.load(f)
+    if isinstance(data, dict):
+        results = data
+    else:
+        with open(data, "rb") as f:
+            results = pickle.load(f)
 
     with open(osp.join(scan_dir, "lines.json")) as f:
         gt = json.load(f)

@@ -53,6 +53,7 @@ def eval_wfr_junctions(
     res: float = 10.0,
     ground_plane=None,
     max_dist: float = 20.0,
+    downsample_radius: float = 0.2,
 ) -> Dict[str, float]:
     """Junction ACC/COMP: unique endpoints of the checked wireframe."""
     lines = _load_pred_lines(data)
@@ -61,6 +62,7 @@ def eval_wfr_junctions(
     return eval_dtu_points(
         endpoints, stl, obs_mask=obs_mask, bb=bb, res=res,
         ground_plane=ground_plane, max_dist=max_dist,
+        downsample_radius=downsample_radius,
     )
 
 
@@ -74,6 +76,7 @@ def eval_lsr_lines(
     res: float = 10.0,
     ground_plane=None,
     max_dist: float = 20.0,
+    downsample_radius: float = 0.2,
 ) -> Dict[str, float]:
     """Line ACC/COMP: segments resampled at n_points."""
     lines = _load_pred_lines(data)
@@ -82,6 +85,7 @@ def eval_lsr_lines(
     return eval_dtu_points(
         pts, stl, obs_mask=obs_mask, bb=bb, res=res,
         ground_plane=ground_plane, max_dist=max_dist,
+        downsample_radius=downsample_radius,
     )
 
 
