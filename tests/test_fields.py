@@ -88,6 +88,7 @@ class TestImplicitNet:
             rtol=1e-5,
         )
 
+    @pytest.mark.slow
     def test_grad_of_grad_works(self):
         """The eikonal loss differentiates through the SDF spatial gradient."""
         params = init_implicit_net(jax.random.PRNGKey(0), self.cfg)
@@ -168,6 +169,7 @@ class TestReducedPrecisionFieldPath:
         # gradients are O(1) at the geometric init
         assert np.abs(np.asarray(grad32 - gradb)).max() < 8e-2
 
+    @pytest.mark.slow
     def test_implicit_bf16_grad_of_grad_flows(self):
         cfg = ImplicitNetConfig(dims=(32,) * 4, skip_in=(2,), multires=4)
         params = init_implicit_net(jax.random.PRNGKey(0), cfg)

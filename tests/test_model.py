@@ -68,6 +68,7 @@ class TestForward:
         for k, v in out.items():
             assert np.isfinite(np.asarray(v)).all(), f"{k} has non-finite values"
 
+    @pytest.mark.slow
     def test_eval_mode(self):
         cfg = tiny_cfg()
         params = init_neat(jax.random.PRNGKey(0), cfg)

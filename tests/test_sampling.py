@@ -123,6 +123,7 @@ class TestErrorBound:
         assert z.shape == (8, 16 + 8 + 2)
         assert z_eik.shape == (8, 1)
 
+    @pytest.mark.slow
     def test_sorted_and_bounded(self):
         z, _ = self._run(training=True)
         zz = np.asarray(z)
