@@ -489,6 +489,7 @@ def wireframe_recon(
     ckview: int = 5,
     junc_match_threshold: float = 0.02,
     vote_threshold: int = 1,
+    vote_ratio: float = 0.0,
     junction_merge_eps: float = 0.0,
     sdf_filter_threshold: float = 0.0,
     edge_vote_threshold: int = 1,
@@ -569,6 +570,21 @@ def wireframe_recon(
         with open(distill_path, "wb") as f:
             pickle.dump(distilled, f)
 
+    # a view-count-relative vote gate: true junctions collect endpoint
+    # votes from a large fraction of the views they are visible in, while
+    # the voting stage's structural false positives collect only a
+    # handful (measured on the ABC toy scene: >=50 vs <=9 of ~100 views),
+    # so a threshold proportional to the view count separates them
+    # robustly across scenes. 0 disables (reference parity).
+    if vote_ratio > 0.0:
+        n_views = int(scene.n_images)
+        vote_threshold = max(vote_threshold, int(round(vote_ratio * n_views)))
+        if verbose:
+            print(
+                f"vote_ratio {vote_ratio} x {n_views} views -> "
+                f"effective vote_threshold {vote_threshold}"
+            )
+
     sha256 = make_hash_sha256(
         {
             "conf": conf,
@@ -601,6 +617,7 @@ def wireframe_recon(
         "ckview": ckview,
         "junc_match_threshold": junc_match_threshold,
         "vote_threshold": vote_threshold,
+        "vote_ratio": vote_ratio,
         "junction_merge_eps": junction_merge_eps,
         "sdf_filter_threshold": sdf_filter_threshold,
         "edge_vote_threshold": edge_vote_threshold,
@@ -645,6 +662,11 @@ def main(argv=None):
     parser.add_argument("--vote-threshold", default=1, type=int, dest="vote_threshold",
                         help="keep junctions with more than this many votes "
                         "(reference hardcodes 1; higher = more precision)")
+    parser.add_argument("--vote-ratio", default=0.0, type=float,
+                        dest="vote_ratio",
+                        help="vote threshold as a fraction of the view count "
+                        "(e.g. 0.1 = 10%% of views; robust across scenes; "
+                        "0 = reference parity)")
     parser.add_argument("--junction-merge-eps", default=0.0, type=float,
                         dest="junction_merge_eps",
                         help="vote-weighted merge radius for near-duplicate "
@@ -672,6 +694,7 @@ def main(argv=None):
         sdf_junction_refine=not args.disable_junction_refine,
         junc_match_threshold=args.junc_match_threshold,
         vote_threshold=args.vote_threshold,
+        vote_ratio=args.vote_ratio,
         junction_merge_eps=args.junction_merge_eps,
         sdf_filter_threshold=args.sdf_filter_threshold,
         edge_vote_threshold=args.edge_vote_threshold,

@@ -6,6 +6,7 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 ROOT = Path(__file__).resolve().parents[1]
 
@@ -23,6 +24,7 @@ class TestDriverContract:
         assert callable(bench.main)
         assert bench.N_RAYS == 1024
 
+    @pytest.mark.slow
     def test_graft_entry(self):
         ge = _load("graft_entry", ROOT / "__graft_entry__.py")
         fn, (params, inputs) = ge.entry()
@@ -32,6 +34,7 @@ class TestDriverContract:
         jaxpr = jax.make_jaxpr(fn)(params, inputs)
         assert len(jaxpr.jaxpr.outvars) == 3
 
+    @pytest.mark.slow
     def test_entry_inputs_shapes(self):
         ge = _load("graft_entry", ROOT / "__graft_entry__.py")
         fn, (params, inputs) = ge.entry()

@@ -77,6 +77,7 @@ class TestForward:
         assert "j3d_local" not in out
         assert "grad_theta" not in out
 
+    @pytest.mark.slow
     def test_volsdf_variant(self):
         cfg = tiny_cfg(model_variant="volsdf")
         params = init_neat(jax.random.PRNGKey(0), cfg)
@@ -92,12 +93,14 @@ class TestForward:
         out = neat_forward(params, make_inputs(), cfg, jax.random.PRNGKey(1))
         assert out["z_vals"].shape == (16, 8)
 
+    @pytest.mark.slow
     def test_dbscan_variant(self):
         cfg = tiny_cfg(dbscan_enabled=True)
         params = init_neat(jax.random.PRNGKey(0), cfg)
         out = neat_forward(params, make_inputs(), cfg, jax.random.PRNGKey(1))
         assert np.isfinite(np.asarray(out["j3d_local"])).all()
 
+    @pytest.mark.slow
     def test_rend_c_variant(self):
         """dbscan_include_global (reference neat_wfr_rend_c.py:427-433):
         the decoded global junctions join the endpoint cloud before

@@ -130,6 +130,7 @@ class TestErrorBound:
         assert (np.diff(zz, axis=1) >= 0).all()
         assert zz.min() >= 0.0 and zz.max() <= 6.0 + 1e-5
 
+    @pytest.mark.slow
     def test_concentrates_near_surface(self):
         """Most final samples should land near the sphere crossing (z=1.5)."""
         z, _ = self._run(training=False)
