@@ -381,6 +381,21 @@ def distill_views(
     }
 
 
+def effective_vote_threshold(
+    vote_threshold: int, vote_ratio: float, n_views: int
+) -> int:
+    """View-count-relative vote gate. True junctions collect endpoint
+    votes from a large fraction of the views they are visible in, while
+    the voting stage's structural false positives collect only a handful
+    (measured on the ABC toy scene: >=50 vs <=9 of ~100 views), so a
+    threshold proportional to the view count separates the populations
+    robustly across scenes. ``vote_ratio`` 0 disables (reference parity);
+    the result never drops below the absolute ``vote_threshold``."""
+    if vote_ratio <= 0.0:
+        return vote_threshold
+    return max(vote_threshold, int(round(vote_ratio * n_views)))
+
+
 def assemble_wireframe(
     distilled: Dict[str, np.ndarray],
     params,
@@ -570,18 +585,13 @@ def wireframe_recon(
         with open(distill_path, "wb") as f:
             pickle.dump(distilled, f)
 
-    # a view-count-relative vote gate: true junctions collect endpoint
-    # votes from a large fraction of the views they are visible in, while
-    # the voting stage's structural false positives collect only a
-    # handful (measured on the ABC toy scene: >=50 vs <=9 of ~100 views),
-    # so a threshold proportional to the view count separates them
-    # robustly across scenes. 0 disables (reference parity).
     if vote_ratio > 0.0:
-        n_views = int(scene.n_images)
-        vote_threshold = max(vote_threshold, int(round(vote_ratio * n_views)))
+        vote_threshold = effective_vote_threshold(
+            vote_threshold, vote_ratio, int(scene.n_images)
+        )
         if verbose:
             print(
-                f"vote_ratio {vote_ratio} x {n_views} views -> "
+                f"vote_ratio {vote_ratio} x {scene.n_images} views -> "
                 f"effective vote_threshold {vote_threshold}"
             )
 

@@ -64,6 +64,12 @@ def capture_cost_matrices(rundir, data_root, n_steps, checkpoint="latest"):
         scene = load_scene("blender", **kwargs)
     scene_dev = scene_to_device(scene)
 
+    import functools
+
+    fwd = jax.jit(
+        functools.partial(neat_forward, cfg=cfg.model, training=True)
+    )
+
     mats = []
     for i in range(n_steps):
         rng = jax.random.fold_in(jax.random.PRNGKey(123), i)
@@ -71,7 +77,7 @@ def capture_cost_matrices(rundir, data_root, n_steps, checkpoint="latest"):
         inputs, _ = sample_batch(
             r_batch, scene_dev, cfg.num_pixels, scene.img_res[1]
         )
-        out = neat_forward(state.params, inputs, cfg.model, r_fwd, training=True)
+        out = fwd(state.params, inputs, rng=r_fwd)
         # rebuild the proposal cost exactly as neat_forward does
         # (model/neat.py junction-proposal block)
         endpoints = np.asarray(out["lines3d"]).reshape(-1, 3)
@@ -94,7 +100,7 @@ def capture_cost_matrices(rundir, data_root, n_steps, checkpoint="latest"):
     return mats
 
 
-def evaluate(mats, n_iters_list=(32, 64, 128, 256)):
+def evaluate(mats, n_iters_list=(32, 64, 128, 256), eps=None):
     import jax.numpy as jnp
     from scipy.optimize import linear_sum_assignment
 
@@ -103,6 +109,7 @@ def evaluate(mats, n_iters_list=(32, 64, 128, 256)):
     rows = []
     for n_iters in n_iters_list:
         subopts, iters_used, keep_agree, med_gaps = [], [], [], []
+        unassigned_fracs = []
         for jcost, row_mask in mats:
             col_mask = np.ones(jcost.shape[1], dtype=bool)
             col, valid, it = auction_assignment(
@@ -110,15 +117,22 @@ def evaluate(mats, n_iters_list=(32, 64, 128, 256)):
                 jnp.asarray(row_mask),
                 jnp.asarray(col_mask),
                 n_iters=n_iters,
+                eps=eps,
             )
             col, valid, it = np.asarray(col), np.asarray(valid), int(it)
 
             live = np.nonzero(row_mask)[0]
             ri, ci = linear_sum_assignment(jcost[live])
             opt_cost = jcost[live][ri, ci].sum()
-            auc_cost = jcost[live, col[live]][valid[live]].sum()
-            # unassigned live rows (shouldn't happen with R<C) count worst-case
+            # an unassigned live row contributes its scipy-matched cost so
+            # partial assignments cannot look better than the optimum
+            per_row_opt = np.zeros(jcost.shape[0])
+            per_row_opt[live[ri]] = jcost[live][ri, ci]
+            auc_cost = np.where(
+                valid[live], jcost[live, col[live]], per_row_opt[live]
+            ).sum()
             n_unassigned = int((~valid[live]).sum())
+            unassigned_fracs.append(n_unassigned / max(len(live), 1))
             subopt = (auc_cost - opt_cost) / max(opt_cost, 1e-9)
             subopts.append(subopt)
             iters_used.append(it)
@@ -149,7 +163,7 @@ def evaluate(mats, n_iters_list=(32, 64, 128, 256)):
                 iters_max=int(np.max(iters_used)),
                 keep_agree=float(np.mean(keep_agree)),
                 median_gap=float(np.mean(med_gaps)),
-                unassigned=n_unassigned,
+                unassigned=float(np.mean(unassigned_fracs)),
             )
         )
     return rows
@@ -162,23 +176,71 @@ def main(argv=None):
     parser.add_argument("--checkpoint", default="latest")
     parser.add_argument("--steps", type=int, default=8)
     parser.add_argument("--out", default=None)
+    parser.add_argument("--mats", default=None,
+                        help="skip capture; analyze matrices saved by --save-mats "
+                        "(analysis is CPU-friendly: JAX_PLATFORMS=cpu)")
+    parser.add_argument("--save-mats", default=None)
     args = parser.parse_args(argv)
 
-    mats = capture_cost_matrices(
-        args.rundir, args.data_root, args.steps, args.checkpoint
-    )
-    rows = evaluate(mats)
-    lines = [
-        "| n_iters | subopt mean | subopt max | iters used (mean/max) | keep-mask agree | median gap |",
-        "|---|---|---|---|---|---|",
-    ]
-    for r in rows:
-        lines.append(
-            f"| {r['n_iters']} | {r['subopt_mean']:.2e} | {r['subopt_max']:.2e} "
-            f"| {r['iters_mean']:.0f}/{r['iters_max']} | {r['keep_agree']:.4f} "
-            f"| {r['median_gap']:.2e} |"
+    if args.mats:
+        with np.load(args.mats) as z:
+            mats = [(z[f"cost{i}"], z[f"mask{i}"]) for i in range(z["n"])]
+    else:
+        mats = capture_cost_matrices(
+            args.rundir, args.data_root, args.steps, args.checkpoint
         )
-    table = "\n".join(lines)
+    if args.save_mats:
+        np.savez_compressed(
+            args.save_mats,
+            n=len(mats),
+            **{f"cost{i}": m[0] for i, m in enumerate(mats)},
+            **{f"mask{i}": m[1] for i, m in enumerate(mats)},
+        )
+
+    def fmt(rows, title):
+        lines = [
+            title,
+            "| n_iters | subopt mean | subopt max | iters used (mean/max) | unassigned | keep-mask agree | median gap |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for r in rows:
+            lines.append(
+                f"| {r['n_iters']} | {r['subopt_mean']:.2e} | {r['subopt_max']:.2e} "
+                f"| {r['iters_mean']:.0f}/{r['iters_max']} | {r['unassigned']:.3f} "
+                f"| {r['keep_agree']:.4f} | {r['median_gap']:.2e} |"
+            )
+        return "\n".join(lines)
+
+    live = [int(m[1].sum()) for m in mats]
+    table = fmt(
+        evaluate(mats),
+        f"Real per-step scale (live rows {min(live)}-{max(live)} of "
+        f"{mats[0][0].shape[0]}, {mats[0][0].shape[1]} proposals):",
+    )
+
+    # contention stress at cluttered-scene vertex counts: replicate the
+    # real live rows with ~2 px jitter until k rows are live. Duplicated
+    # near-identical rows all want the same columns — the hardest case
+    # for a bidding auction — at the densities a real DTU/ScanNet view
+    # could produce (HAWP caps out at a few hundred vertices per view).
+    rng = np.random.RandomState(0)
+    for k in (128, 512):
+        stress = []
+        for jcost, row_mask in mats:
+            live_idx = np.nonzero(row_mask)[0]
+            reps = live_idx[rng.randint(0, len(live_idx), size=k)]
+            cost_k = jcost[reps] + rng.uniform(0, 2.0, size=(k, 1)).astype(
+                jcost.dtype
+            )
+            cost_s = np.full(jcost.shape, 1e4, dtype=jcost.dtype)
+            cost_s[:k] = cost_k
+            mask_s = np.zeros(jcost.shape[0], dtype=bool)
+            mask_s[:k] = True
+            stress.append((cost_s, mask_s))
+        table += "\n\n" + fmt(
+            evaluate(stress),
+            f"Contention stress ({k} jittered-duplicate live rows):",
+        )
     print(table)
     if args.out:
         with open(args.out, "w") as f:
