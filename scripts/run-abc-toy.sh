@@ -1,6 +1,7 @@
 #!/usr/bin/env bash
 # End-to-end ABC toy workflow (the reference README's toy recipe):
-# train -> finalize -> evaluate. Usage:
+# train -> finalize -> evaluate. The view-ratio vote gate reproduces the
+# exact-wireframe result (P = R = 1.000, RESULTS.md). Usage:
 #   scripts/run-abc-toy.sh <data_root> [nepochs] [exps_folder]
 set -euo pipefail
 DATA_ROOT=${1:?usage: run-abc-toy.sh <data_root> [nepochs] [exps_folder]}
@@ -13,7 +14,8 @@ python -m neat_tpu.train.runner \
 
 RUNDIR=$(ls -dt "$EXPS"/abc_000075213_neat_a/*/ | head -1)
 python -m neat_tpu.wireframe.finalize \
-    --conf "$RUNDIR/runconf.conf" --checkpoint latest --data_root "$DATA_ROOT"
+    --conf "$RUNDIR/runconf.conf" --checkpoint latest --data_root "$DATA_ROOT" \
+    --vote-ratio 0.1
 
 PKL=$(ls -t "$RUNDIR"/wireframes/*-neat.pkl | head -1)
 python -m neat_tpu.evaluation.eval_abc \
