@@ -506,7 +506,13 @@ def attach_line_depth_cues(
         order = np.argsort(-depth)
         depth_maps[view][flat[order]] = depth[order]
 
-    scene.depth = depth_maps
+    if scene.depth is not None:
+        # file-based depth maps (depth_dir) stay where the line cues have
+        # nothing; cue pixels override (they are metric, the maps may be
+        # relative monodepth)
+        scene.depth = np.where(depth_maps > 0, depth_maps, scene.depth)
+    else:
+        scene.depth = depth_maps
     return scene
 
 
@@ -518,6 +524,12 @@ def load_scene_line_scene(
 ) -> SceneData:
     """DTU-convention scene + precomputed-3D-line depth conditioning
     (reference scene_line_dataset.py / scene_line_depth_dataset.py)."""
+    if not lines_npz:
+        raise ValueError(
+            "scene_line datasets require dataset.lines_npz (a precomputed "
+            "lines3d npz, e.g. a previous distillation or COLMAP line "
+            "reconstruction) in the conf"
+        )
     scene = load_dtu_scene(**kwargs)
     return attach_line_depth_cues(
         scene,

@@ -160,7 +160,11 @@ def neat_loss(
         pred = outputs["depth"].reshape(-1)
         gt_d = ground_truth["depth"].reshape(-1)
         if cfg.depth_loss_kind == "ssi":
-            depth_loss = scale_shift_invariant_loss(pred, gt_d)
+            # 0 marks "no depth available" in both the dense monodepth
+            # maps (reference masks via the object mask) and the sparse
+            # line-depth cues; fitting (s, t) against the zeros would
+            # drag predictions toward them
+            depth_loss = scale_shift_invariant_loss(pred, gt_d, mask=gt_d > 0)
         else:
             # sparse cues use 0 = "no depth available"; the reference spd
             # loss masks them out (loss_wfr_spd.py:49-55)

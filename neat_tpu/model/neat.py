@@ -262,7 +262,15 @@ def neat_forward(
     use_fused_field = cfg.use_pallas_field and cfg.model_variant == "neat"
     lines3d_flat = None
     if use_fused_field:
-        from ..ops.fused_field import fused_field_eval
+        from ..ops.fused_field import fused_field_eval, supports_fused_field
+
+        if not supports_fused_field(cfg.implicit, cfg.rendering, cfg.attraction):
+            raise ValueError(
+                "use_pallas_field=True but the network architecture is not "
+                "the canonical 8x256 SDF + 4x256 idr heads the fused kernel "
+                "implements (e.g. inside_out, nerf-mode heads, non-256 "
+                "widths); disable use_pallas_field for this config"
+            )
 
         sdf, grads, rgb_flat, lines3d_flat = fused_field_eval(
             params,

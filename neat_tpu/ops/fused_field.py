@@ -242,11 +242,16 @@ def _bwd_kernel(icfg, rcfg, compute_dtype, x_ref, d_ref, *refs):
             r[:] = r[:] + g32
 
 
-def _pad_to_tile(a, n_padded):
+def _pad_to_tile(a, n_padded, pad_value=0.0):
+    """Pad rows to the tile multiple. Point inputs must pad with a
+    NONZERO value: the sphere-clamp VJP differentiates ||x|| whose
+    gradient at x=0 is NaN, and although pad-row cotangents are zero,
+    NaN activations would still poison the accumulated weight gradients
+    (NaN * 0 = NaN in dW = h^T @ delta)."""
     pad = n_padded - a.shape[0]
     if pad:
         a = jnp.concatenate(
-            [a, jnp.zeros((pad, *a.shape[1:]), a.dtype)], axis=0
+            [a, jnp.full((pad, *a.shape[1:]), pad_value, a.dtype)], axis=0
         )
     return a
 
@@ -280,7 +285,7 @@ def _pallas_specs(n_eff, interpret):
 def _fwd_pallas(flat_eff, x, d, icfg, rcfg, compute_dtype, interpret):
     n = x.shape[0]
     n_padded = -(-n // TILE) * TILE
-    xp = _pad_to_tile(x, n_padded)
+    xp = _pad_to_tile(x, n_padded, pad_value=1.0)
     dp = _pad_to_tile(d, n_padded)
     n_eff = len(flat_eff)
     pl, tile_spec, full_spec, _ = _pallas_specs(n_eff, interpret)
@@ -318,7 +323,7 @@ def _bwd_pallas(flat_eff, x, d, cots, icfg, rcfg, compute_dtype, interpret):
         return vjp_fn(tuple(cots))
     n = x.shape[0]
     n_padded = -(-n // TILE) * TILE
-    xp = _pad_to_tile(x, n_padded)
+    xp = _pad_to_tile(x, n_padded, pad_value=1.0)
     dp = _pad_to_tile(d, n_padded)
     cots_p = tuple(_pad_to_tile(c, n_padded) for c in cots)
     n_eff = len(flat_eff)

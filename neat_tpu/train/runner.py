@@ -245,6 +245,9 @@ class TrainRunner:
         if kind == "scene_line":
             kwargs["scan_id"] = self.cfg.scan_id
             kwargs["lines_npz"] = self.cfg.lines_npz
+            # file-based depth maps load first; attach_line_depth_cues
+            # then only fills views the line cues cover
+            kwargs["depth_dir"] = self.cfg.depth_dir
             return load_scene("scene_line", **kwargs)
         if kind == "scannet":
             return load_scene(

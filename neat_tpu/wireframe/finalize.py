@@ -600,6 +600,9 @@ def wireframe_recon(
             "conf": conf,
             "checkpoint": checkpoint,
             "distance": distance,
+            # distillation knob: runs differing only in it must not share
+            # output paths (they already use separate distill caches)
+            "junc_match_threshold": junc_match_threshold,
             "sdf_junction_refine": sdf_junction_refine,
             "vote_threshold": vote_threshold,
             "junction_merge_eps": junction_merge_eps,

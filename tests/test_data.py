@@ -194,3 +194,36 @@ class TestSceneLineDepthCues:
         gt["depth"] = jnp.zeros((n,))
         stats = neat_loss(outputs, gt, cfg)
         assert float(stats["depth_loss"]) == 0.0
+
+    def test_ssi_depth_loss_masks_empty_pixels(self):
+        from neat_tpu.model.loss import LossConfig, neat_loss
+
+        cfg = LossConfig(depth_weight=0.1, depth_loss_kind="ssi",
+                         line_weight=0.0, junction_3d_weight=0.0,
+                         junction_2d_weight=0.0)
+        n = 16
+        rng = np.random.RandomState(0)
+        true_d = rng.rand(n).astype(np.float32) + 1.0
+        gt_depth = np.zeros(n, np.float32)
+        gt_depth[:4] = true_d[:4]  # sparse cues; 0 = no depth
+        # prediction is an exact affine transform of the true depth:
+        # with masking the SSI fit is perfect on the 4 cue pixels
+        pred = 2.0 * true_d + 0.5
+        outputs = {
+            "rgb_values": jnp.zeros((n, 3)),
+            "depth": jnp.asarray(pred),
+            "grad_theta": jnp.ones((n, 3)),
+        }
+        gt = {"rgb": jnp.zeros((n, 3)), "depth": jnp.asarray(gt_depth)}
+        stats = neat_loss(outputs, gt, cfg)
+        assert float(stats["depth_loss"]) < 1e-8  # unmasked zeros would ruin the fit
+
+    def test_missing_lines_npz_is_a_clear_error(self):
+        import pytest
+
+        from neat_tpu.data.datasets import load_scene
+
+        with pytest.raises(ValueError, match="lines_npz"):
+            load_scene("scene_line", lines_npz=None, data_dir="toy",
+                       img_res=(64, 64), scan_id=1, data_root="/nonexistent",
+                       distance_threshold=3.0, max_verts=16)

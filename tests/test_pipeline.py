@@ -135,17 +135,3 @@ class TestTrainOnSynthetic:
         out = render_view(params, cfg, scene, 0, chunksize=512)
         assert out["rgb"].shape == (64, 64, 3)
         assert np.isfinite(out["rgb"]).all()
-
-
-class TestVoteRatio:
-    def test_effective_vote_threshold(self):
-        from neat_tpu.wireframe.finalize import effective_vote_threshold
-
-        # disabled -> absolute threshold passes through
-        assert effective_vote_threshold(1, 0.0, 100) == 1
-        assert effective_vote_threshold(4, 0.0, 100) == 4
-        # ratio of the view count, rounded
-        assert effective_vote_threshold(1, 0.1, 100) == 10
-        assert effective_vote_threshold(1, 0.1, 49) == 5
-        # never drops below the absolute threshold
-        assert effective_vote_threshold(8, 0.1, 30) == 8
