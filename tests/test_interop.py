@@ -225,3 +225,61 @@ def dataclasses_replace_render(feat, d_out):
     return RenderNetConfig(
         feature_vector_size=feat, d_out=d_out, dims=(16,) * 4, multires_view=0
     )
+
+
+class TestTorchExport:
+    """torch_export is the exact inverse of torch_import."""
+
+    def test_export_import_roundtrip(self):
+        import jax
+
+        from neat_tpu.interop.torch_export import params_to_reference_state
+        from neat_tpu.model.neat import NeatConfig, init_neat
+
+        cfg = NeatConfig.for_abc()
+        params = init_neat(jax.random.PRNGKey(0), cfg)
+        state = params_to_reference_state(params, cfg)
+        # reference key layout present
+        assert "implicit_network.lin0.weight_v" in state
+        assert "rendering_network.lin0.weight_g" in state
+        assert "attraction_network.lin0.bias" in state
+        assert state["density.beta"].shape == (1,)
+        assert "latents" in state and "ffn.0.weight" in state
+
+        back = reference_state_to_params(state, cfg)
+        flat_a = jax.tree_util.tree_leaves_with_path(params)
+        flat_b = {jax.tree_util.keystr(k): v
+                  for k, v in jax.tree_util.tree_leaves_with_path(back)}
+        for k, v in flat_a:
+            key = jax.tree_util.keystr(k)
+            np.testing.assert_allclose(
+                np.asarray(v, dtype=np.float32).reshape(np.asarray(flat_b[key]).shape),
+                np.asarray(flat_b[key]),
+                rtol=0, atol=0,
+                err_msg=key,
+            )
+
+    def test_export_cli(self, tmp_path):
+        import jax
+
+        from neat_tpu.interop.torch_export import main as export_main
+        from neat_tpu.model.neat import NeatConfig, init_neat
+        from neat_tpu.train.step import init_train_state
+        from neat_tpu.train.checkpoint import save_checkpoint
+
+        # fabricate a minimal rundir
+        import shutil
+
+        rundir = tmp_path / "run"
+        (rundir / "checkpoints").mkdir(parents=True)
+        shutil.copy("confs/abc-neat-a.conf", rundir / "runconf.conf")
+        cfg = NeatConfig.for_abc()
+        params = init_neat(jax.random.PRNGKey(0), cfg)
+        state = init_train_state(params, 5e-4, 0.1, 100)
+        save_checkpoint(str(rundir / "checkpoints"), state, 7)
+
+        out = tmp_path / "export.pth"
+        export_main(["--rundir", str(rundir), "--out", str(out)])
+        payload = torch.load(out, map_location="cpu", weights_only=False)
+        assert payload["epoch"] == 7
+        assert "implicit_network.lin0.weight_v" in payload["model_state_dict"]
