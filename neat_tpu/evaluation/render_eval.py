@@ -29,13 +29,24 @@ def _render_chunk(params, inputs, cfg: NeatConfig, rng):
 
 
 def render_view(
-    params, cfg: NeatConfig, scene, view: int, chunksize: int = 1024
+    params, cfg: NeatConfig, scene, view: int, chunksize: int = 1024,
+    mesh=None,
 ) -> Dict[str, np.ndarray]:
     """Render one full view in fixed-size chunks (reference eval.py's
-    split_input/merge_output flow)."""
+    split_input/merge_output flow). With ``mesh``, each chunk shards its
+    ray axis over the mesh's data axis (params replicated)."""
     from ..utils.chunking import split_input, merge_output
 
     cfg = offline_eval_config(cfg)
+    if mesh is not None:
+        from ..parallel.mesh import (
+            place_chunk_inputs,
+            replicated_sharding,
+            round_chunk_to_mesh,
+        )
+
+        chunksize = round_chunk_to_mesh(chunksize, mesh)
+        params = jax.device_put(params, replicated_sharding(mesh))
     h, w = scene.img_res
     uv = scene.uv_full()
     n = uv.shape[0]
@@ -55,6 +66,8 @@ def render_view(
             "verts2d": dummy_verts,
             "verts_mask": dummy_vmask,
         }
+        if mesh is not None:
+            inputs = place_chunk_inputs(inputs, mesh)
         rgb, nrm, dep = _render_chunk(params, inputs, cfg, rng)
         res.append(
             {
@@ -80,6 +93,7 @@ def render_views_psnr(
     views: Optional[list] = None,
     chunksize: int = 1024,
     save_images: bool = True,
+    mesh=None,
 ) -> Dict[str, float]:
     """Render views, compute PSNR vs GT, optionally write pngs + csv."""
     views = views if views is not None else list(range(scene.n_images))
@@ -87,7 +101,7 @@ def render_views_psnr(
         os.makedirs(out_dir, exist_ok=True)
     psnrs = []
     for view in views:
-        out = render_view(params, cfg, scene, view, chunksize)
+        out = render_view(params, cfg, scene, view, chunksize, mesh=mesh)
         gt = scene.rgb[view].reshape(*scene.img_res, 3)
         mse = float(np.mean((out["rgb"] - gt) ** 2))
         psnr = -10.0 * np.log(mse) / np.log(10.0)
@@ -145,6 +159,9 @@ def main(argv=None):
     parser.add_argument("--resolution", default=100, type=int)
     parser.add_argument("--chunksize", default=1024, type=int)
     parser.add_argument("--views", default=None, type=str, help="comma-separated ids")
+    parser.add_argument("--mesh", default=0, type=int, dest="mesh_devices",
+                        help="shard full-image rendering over an N-device "
+                        "mesh (0 = single device)")
     args = parser.parse_args(argv)
 
     rundir = osp.dirname(args.conf)
@@ -164,8 +181,14 @@ def main(argv=None):
 
     out_dir = osp.join(rundir, "evaluation")
     views = [int(v) for v in args.views.split(",")] if args.views else None
+    mesh = None
+    if args.mesh_devices:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh_devices)
     stats = render_views_psnr(
-        state.params, cfg.model, scene, out_dir, views, args.chunksize
+        state.params, cfg.model, scene, out_dir, views, args.chunksize,
+        mesh=mesh,
     )
     print(f"PSNR {stats['psnr_mean']:.3f} +- {stats['psnr_std']:.3f}")
     export_scene_mesh(

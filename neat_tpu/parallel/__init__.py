@@ -1,1 +1,8 @@
-from .mesh import make_mesh, ray_sharding, replicated_sharding, shard_scene
+from .mesh import (
+    make_mesh,
+    place_chunk_inputs,
+    ray_sharding,
+    replicated_sharding,
+    round_chunk_to_mesh,
+    shard_scene,
+)

@@ -61,3 +61,26 @@ def shard_scene(scene: Dict, mesh: Mesh) -> Dict:
             spec = P()
         out[k] = jax.device_put(arr, NamedSharding(mesh, spec))
     return out
+
+
+def place_chunk_inputs(inputs: Dict, mesh: Mesh) -> Dict:
+    """Place one chunked-inference input dict on the mesh: the per-pixel
+    arrays (leading axis = rays) shard over 'data', per-view camera
+    matrices and the dummy vertex tables replicate. The chunk evaluators
+    are plain jit functions — GSPMD partitions them automatically when
+    their inputs arrive sharded, so offline distillation/rendering scale
+    over the same mesh as training without separate code paths."""
+    ray_keys = ("uv", "uv_proj")
+    out = {}
+    for k, v in inputs.items():
+        s = ray_sharding(mesh) if k in ray_keys else replicated_sharding(mesh)
+        out[k] = jax.device_put(v, s)
+    return out
+
+
+def round_chunk_to_mesh(chunksize: int, mesh: Optional[Mesh]) -> int:
+    """Chunk sizes must divide evenly over the mesh's data axis."""
+    if mesh is None:
+        return chunksize
+    n = mesh.devices.size
+    return -(-chunksize // n) * n

@@ -97,12 +97,24 @@ def view_field_lines(
     view: int,
     chunksize: int = 2048,
     mask_override: Optional[np.ndarray] = None,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Evaluate the attraction field on a view's support pixels.
 
     Returns (lines3d (N,2,3), lines2d (N,4), l3d (N,3), labels (N,)).
+    With ``mesh``, chunks shard their ray axis over the mesh's data axis
+    (params replicated) — the same scaling story as the training step.
     """
     cfg = offline_eval_config(cfg)
+    if mesh is not None:
+        from ..parallel.mesh import (
+            place_chunk_inputs,
+            replicated_sharding,
+            round_chunk_to_mesh,
+        )
+
+        chunksize = round_chunk_to_mesh(chunksize, mesh)
+        params = jax.device_put(params, replicated_sharding(mesh))
     mask = mask_override if mask_override is not None else scene.mask[view]
     pix = np.nonzero(mask)[0]
     labels = scene.labels[view][pix]
@@ -131,6 +143,8 @@ def view_field_lines(
             "verts2d": dummy_verts,
             "verts_mask": dummy_vmask,
         }
+        if mesh is not None:
+            inputs = place_chunk_inputs(inputs, mesh)
         l3, l2, lp = _eval_chunk(params, inputs, cfg, rng)
         lines3d_all.append(np.asarray(l3)[:n])
         lines2d_all.append(np.asarray(l2)[:n])
@@ -276,6 +290,7 @@ def distill_views(
     sdf_junction_refine: bool = True,
     gt_line_threshold: float = 0.01,
     verbose: bool = True,
+    mesh=None,
 ) -> Dict[str, np.ndarray]:
     """The expensive half of finalization: per-view field evaluation,
     2D matching, per-detected-line averaging, and endpoint->junction
@@ -295,7 +310,7 @@ def distill_views(
 
     for view in range(scene.n_images):
         lines3d, lines2d, l3d, _ = view_field_lines(
-            params, cfg, scene, view, chunksize
+            params, cfg, scene, view, chunksize, mesh=mesh
         )
         # duplicate with swapped endpoint order (reference :229-234)
         lines3d = np.concatenate([lines3d, lines3d[:, [1, 0]]], axis=0)
@@ -513,6 +528,7 @@ def wireframe_recon(
     data_root: str = "../data",
     assignment_method: str = "auction",
     verbose: bool = True,
+    mesh_devices: int = 0,
 ) -> Dict[str, np.ndarray]:
     """Full finalization entry (reference wireframe_recon, :339-427).
 
@@ -572,6 +588,11 @@ def wireframe_recon(
         with open(distill_path, "rb") as f:
             distilled = pickle.load(f)
     else:
+        mesh = None
+        if mesh_devices:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(mesh_devices)
         distilled = distill_views(
             params,
             cfg.model,
@@ -581,6 +602,7 @@ def wireframe_recon(
             junc_match_threshold=junc_match_threshold,
             sdf_junction_refine=sdf_junction_refine,
             verbose=verbose,
+            mesh=mesh,
         )
         with open(distill_path, "wb") as f:
             pickle.dump(distilled, f)
@@ -694,6 +716,9 @@ def main(argv=None):
                         help="min distilled-line support for a graph edge "
                         "(1 = reference parity)")
     parser.add_argument("--data_root", default="../data", type=str)
+    parser.add_argument("--mesh", default=0, type=int, dest="mesh_devices",
+                        help="shard the distillation field evals over an "
+                        "N-device mesh (0 = single device)")
     args = parser.parse_args(argv)
 
     wireframe_recon(
@@ -712,6 +737,7 @@ def main(argv=None):
         sdf_filter_threshold=args.sdf_filter_threshold,
         edge_vote_threshold=args.edge_vote_threshold,
         data_root=args.data_root,
+        mesh_devices=args.mesh_devices,
     )
 
 

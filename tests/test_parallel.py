@@ -141,3 +141,65 @@ def test_dual_batch_sharded_step_runs_and_matches():
     np.testing.assert_allclose(
         float(aux_1["loss"]), float(aux_8["loss"]), rtol=1e-5, atol=1e-6
     )
+
+
+class TestShardedChunkInference:
+    """Offline distillation / rendering chunks shard over the same mesh
+    as training (params replicated, ray axis split) and must match the
+    single-device results exactly."""
+
+    @pytest.fixture(scope="class")
+    def scene(self, tmp_path_factory):
+        from neat_tpu.data.synthetic import generate_scene
+        from neat_tpu.data.datasets import load_blender_scene
+
+        d = tmp_path_factory.mktemp("shard_inf")
+        generate_scene(str(d / "toy"), n_views=2, res=(32, 32))
+        return load_blender_scene(
+            "toy", (32, 32), data_root=str(d), distance_threshold=3.0,
+            max_verts=16,
+        )
+
+    @pytest.fixture(scope="class")
+    def cfg_params(self):
+        cfg = NeatConfig(
+            scene_bounding_sphere=3.0,
+            implicit=ImplicitNetConfig(dims=(32,) * 3, skip_in=(1,), multires=4),
+            junctions=GlobalJunctionsConfig(num_junctions=8, dim_hidden=32),
+            sampler=ErrorBoundSamplerConfig(
+                n_samples=6, n_samples_eval=8, n_samples_extra=2,
+                max_total_iters=2,
+            ),
+            max_verts=16,
+        )
+        return cfg, init_neat(jax.random.PRNGKey(3), cfg)
+
+    def test_view_field_lines_matches(self, scene, cfg_params):
+        from neat_tpu.wireframe.finalize import view_field_lines
+
+        cfg, params = cfg_params
+        mesh = make_mesh(N_DEV)
+        single = view_field_lines(params, cfg, scene, 0, chunksize=64)
+        sharded = view_field_lines(params, cfg, scene, 0, chunksize=64, mesh=mesh)
+        for a, b in zip(single, sharded):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+    def test_render_view_matches(self, scene, cfg_params):
+        from neat_tpu.evaluation.render_eval import render_view
+
+        cfg, params = cfg_params
+        mesh = make_mesh(N_DEV)
+        single = render_view(params, cfg, scene, 0, chunksize=64)
+        sharded = render_view(params, cfg, scene, 0, chunksize=64, mesh=mesh)
+        for k in ("rgb", "normal", "depth"):
+            np.testing.assert_allclose(
+                single[k], sharded[k], rtol=1e-5, atol=1e-5
+            )
+
+    def test_chunk_rounding(self):
+        from neat_tpu.parallel.mesh import round_chunk_to_mesh
+
+        mesh = make_mesh(N_DEV)
+        assert round_chunk_to_mesh(64, mesh) == 64
+        assert round_chunk_to_mesh(60, mesh) == 64
+        assert round_chunk_to_mesh(60, None) == 60
