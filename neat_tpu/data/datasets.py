@@ -391,39 +391,99 @@ def load_scannet_scene(
     img_res: Tuple[int, int],
     scan_id: str = "",
     data_root: str = "../data",
+    line_detector: str = "hawp",
+    distance_threshold: float = 5.0,
+    score_threshold: float = 0.05,
+    with_wireframes: bool = True,
+    max_verts: Optional[int] = None,
+    encodels_backend: str = "auto",
+    depth_name: str = "depth_colmap",
     **kwargs,
 ) -> SceneData:
-    """ScanNet-style scene: per-view pose txt files + a shared intrinsic
-    (reference scene layout of scannet_hawp_dataset.py). Poses are cam2world
-    4x4 text matrices in ``pose/``; intrinsics in ``intrinsic/`` or
-    ``intrinsics.txt``."""
-    instance_dir = osp.join(data_root, data_dir, str(scan_id)) if scan_id else osp.join(data_root, data_dir)
+    """ScanNet-style scene (reference scannet_hawp_dataset.py:16-95):
+    per-view cam2world pose txts in ``pose/``, one shared ``intrinsic.txt``,
+    HAWP wireframe jsons in ``{line_detector}/``, and optional sparse
+    COLMAP depth ``{depth_name}/{img}.npy`` clipped at 2 m (reference
+    :64-71: ``depth_colmap[depth_colmap > 2.0] = 0``). Line-less views are
+    dropped like the other loaders."""
+    instance_dir = (
+        osp.join(data_root, data_dir, str(scan_id))
+        if scan_id not in (None, "")  # scan_id 0 is a valid directory name
+        else osp.join(data_root, data_dir)
+    )
+    assert osp.exists(instance_dir), f"Data directory {instance_dir} is empty"
     image_paths = _glob_imgs(osp.join(instance_dir, "images"))
     if not image_paths:
         image_paths = _glob_imgs(osp.join(instance_dir, "color"))
-    poses = []
-    for p in image_paths:
-        stem = osp.splitext(osp.basename(p))[0]
-        pose_path = osp.join(instance_dir, "pose", stem + ".txt")
-        poses.append(np.loadtxt(pose_path).astype(np.float32).reshape(4, 4))
-    intr_path = osp.join(instance_dir, "intrinsic", "intrinsic_color.txt")
+
+    intr_path = osp.join(instance_dir, "intrinsic.txt")
+    if not osp.exists(intr_path):  # alternative layouts seen in the wild
+        intr_path = osp.join(instance_dir, "intrinsic", "intrinsic_color.txt")
     if not osp.exists(intr_path):
         intr_path = osp.join(instance_dir, "intrinsics.txt")
     intr = np.loadtxt(intr_path).astype(np.float32).reshape(4, 4)
 
-    rgbs = []
-    for p in image_paths:
+    h, w = img_res
+    rgbs, poses, wireframes, lines_list, valid_ids, depths = [], [], [], [], [], []
+    for i, p in enumerate(image_paths):
+        stem = osp.splitext(osp.basename(p))[0]
+        if with_wireframes:
+            hawp_path = osp.join(instance_dir, line_detector, stem + ".json")
+            if not osp.exists(hawp_path):
+                continue
+            wf = WireframeGraph.load_json(hawp_path)
+            if wf.num_vertices == 0 or wf.num_edges == 0:
+                continue
+            ln = wf.line_segments(score_threshold)
+            if ln.shape[0] == 0:
+                continue
+            wireframes.append(wf)
+            lines_list.append(ln)
+        poses.append(
+            np.loadtxt(osp.join(instance_dir, "pose", stem + ".txt"))
+            .astype(np.float32)
+            .reshape(4, 4)
+        )
         img = _load_rgb(p)
+        assert img.shape[:2] == tuple(img_res), f"{img.shape} vs {img_res}"
         rgbs.append(img.reshape(-1, 3))
+        depth_path = osp.join(instance_dir, depth_name, stem + ".npy")
+        if osp.exists(depth_path):
+            d = np.load(depth_path).astype(np.float32).reshape(h * w)
+            d[d > 2.0] = 0.0
+        else:
+            d = np.zeros(h * w, np.float32)
+        depths.append(d)
+        valid_ids.append(i)
 
     scene = SceneData(
         rgb=np.stack(rgbs),
-        intrinsics=np.tile(intr[None], (len(image_paths), 1, 1)),
+        intrinsics=np.tile(intr[None], (len(rgbs), 1, 1)),
         pose=np.stack(poses),
         img_res=tuple(img_res),
         scale_mat=np.eye(4, dtype=np.float32),
-        view_ids=np.arange(len(image_paths), dtype=np.int32),
+        view_ids=np.asarray(valid_ids, dtype=np.int32),
     )
+    if any(d.any() for d in depths):
+        scene.depth = np.stack(depths)
+    if with_wireframes:
+        (
+            scene.lines,
+            scene.n_lines,
+            scene.verts2d,
+            scene.verts_mask,
+            scene.mask,
+            scene.labels,
+            scene.uv_proj,
+            scene.support_idx,
+            scene.support_count,
+        ) = _pack_wireframes(
+            wireframes, lines_list, tuple(img_res), distance_threshold,
+            max_verts, encodels_backend,
+        )
+        scene.lines_lo, scene.n_lines_lo = _pack_lines(
+            [wf.line_segments(0.01) for wf in wireframes]
+        )
     return scene
 
 

@@ -152,12 +152,16 @@ def generate_scene(
     hawp/, lines.json (ABC layout). convention='dtu': image/,
     cameras.npz{world_mat_i, scale_mat_i} with world_mat = K [R|t] and an
     identity scale_mat, hawp/, lines.json (DTU/BMVS layout).
+    convention='scannet': images/, pose/*.txt (cam2world), a shared
+    intrinsic.txt, hawp/, lines.json (ScanNet layout).
     """
     import imageio.v2 as imageio
 
-    img_dir = "images" if convention == "blender" else "image"
+    img_dir = "image" if convention == "dtu" else "images"
     os.makedirs(osp.join(out_dir, img_dir), exist_ok=True)
     os.makedirs(osp.join(out_dir, "hawp"), exist_ok=True)
+    if convention == "scannet":
+        os.makedirs(osp.join(out_dir, "pose"), exist_ok=True)
 
     verts, edges, faces, colors = cuboid_wireframe()
     h, w = res
@@ -204,6 +208,12 @@ def generate_scene(
             intrinsics=np.stack(intr_all).astype(np.float32),
             extrinsics=np.stack(pose_all).astype(np.float32),
         )
+    elif convention == "scannet":
+        k4 = np.eye(4)
+        k4[:3, :3] = intr_all[0]
+        np.savetxt(osp.join(out_dir, "intrinsic.txt"), k4)
+        for i, pose in enumerate(pose_all):
+            np.savetxt(osp.join(out_dir, "pose", f"image_{i:04d}.txt"), pose)
     else:
         cams = {}
         for i, (ki, pose) in enumerate(zip(intr_all, pose_all)):

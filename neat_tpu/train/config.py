@@ -175,6 +175,9 @@ _DATASET_CLASS_MAP = {
     "datasets.scene_hawp_dataset.SceneDataset": "dtu",
     "datasets.blender_dataset.BlenderDataset": "blender_plain",
     "datasets.scene_dataset.SceneDataset": "dtu_plain",
+    # the reference file names its class SceneDataset like the DTU one
+    # (scannet_hawp_dataset.py:16); accept both spellings
+    "datasets.scannet_hawp_dataset.SceneDataset": "scannet",
     "datasets.scannet_hawp_dataset.ScanNetDataset": "scannet",
     "datasets.scene_line_dataset.SceneDataset": "scene_line",
     "datasets.scene_line_depth_dataset.SceneDataset": "scene_line",

@@ -250,12 +250,8 @@ class TrainRunner:
             kwargs["depth_dir"] = self.cfg.depth_dir
             return load_scene("scene_line", **kwargs)
         if kind == "scannet":
-            return load_scene(
-                "scannet",
-                data_dir=self.cfg.data_dir,
-                img_res=self.cfg.img_res,
-                data_root=self.data_root,
-            )
+            kwargs["scan_id"] = self.cfg.scan_id
+            return load_scene("scannet", **kwargs)
         if kind == "blender_plain":
             kwargs["with_wireframes"] = False
             return load_scene("blender", **kwargs)

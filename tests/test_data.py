@@ -227,3 +227,69 @@ class TestSceneLineDepthCues:
             load_scene("scene_line", lines_npz=None, data_dir="toy",
                        img_res=(64, 64), scan_id=1, data_root="/nonexistent",
                        distance_threshold=3.0, max_verts=16)
+
+
+class TestScanNetScene:
+    """ScanNet layout (reference scannet_hawp_dataset.py:16-95): pose/
+    txts + shared intrinsic.txt + hawp jsons + optional depth_colmap."""
+
+    @pytest.fixture(scope="class")
+    def scene_dir(self, tmp_path_factory):
+        from neat_tpu.data.synthetic import generate_scene
+
+        d = tmp_path_factory.mktemp("scannet")
+        generate_scene(str(d / "scn" / "0"), n_views=3, res=(48, 48),
+                       convention="scannet")
+        # one sparse colmap depth map: valid value + one beyond the 2 m clip
+        dd = d / "scn" / "0" / "depth_colmap"
+        dd.mkdir()
+        dep = np.zeros((48, 48), np.float32)
+        dep[10, 10] = 1.5
+        dep[20, 20] = 5.0  # clipped to 0 by the loader
+        np.save(dd / "image_0000.npy", dep)
+        return str(d)
+
+    def test_load(self, scene_dir):
+        from neat_tpu.data.datasets import load_scene
+
+        scene = load_scene(
+            "scannet", data_dir="scn", scan_id="0", img_res=(48, 48),
+            data_root=scene_dir, distance_threshold=3.0, max_verts=16,
+        )
+        assert scene.n_images == 3
+        # wireframes packed like the other loaders
+        assert scene.lines is not None and scene.mask is not None
+        assert scene.support_idx is not None
+        # shared intrinsic replicated per view; poses differ per view
+        np.testing.assert_allclose(scene.intrinsics[0], scene.intrinsics[1])
+        assert not np.allclose(scene.pose[0], scene.pose[1])
+        # depth: reference clips > 2.0 to 0 (scannet_hawp_dataset.py:66)
+        assert scene.depth is not None
+        d0 = scene.depth[0].reshape(48, 48)
+        assert d0[10, 10] == 1.5 and d0[20, 20] == 0.0
+        assert scene.depth[1].sum() == 0.0  # missing file -> zeros
+
+    def test_projection_consistency(self, scene_dir):
+        import json
+
+        from neat_tpu.data.datasets import load_scene
+
+        scene = load_scene(
+            "scannet", data_dir="scn", scan_id="0", img_res=(48, 48),
+            data_root=scene_dir, distance_threshold=3.0, max_verts=16,
+        )
+        with open(osp.join(scene_dir, "scn", "0", "lines.json")) as f:
+            gt = json.load(f)
+        verts = np.asarray(gt["junctions"])
+        k3 = scene.intrinsics[0][:3, :3]
+        w2c = np.linalg.inv(scene.pose[0].astype(np.float64))
+        cam = verts @ w2c[:3, :3].T + w2c[:3, 3]
+        uv = (cam @ k3.T)
+        uv = uv[:, :2] / uv[:, 2:]
+        # the hawp json vertices were generated by this same projection
+        with open(osp.join(scene_dir, "scn", "0", "hawp",
+                           "image_0000.json")) as f:
+            wf = json.load(f)
+        det = np.asarray(wf["vertices"])
+        d = np.abs(uv[:, None] - det[None]).sum(-1).min(1)
+        assert d.max() < 1e-3

@@ -157,3 +157,28 @@ class TestRunner:
         cfg = load_experiment_config(runconf)
         assert cfg.expname == "tiny"
         assert cfg.model.junctions.num_junctions == 8
+
+
+class TestScanNetRunner:
+    """The ScanNet dataset branch trains end-to-end through a
+    reference-style conf (scannet_hawp_dataset.SceneDataset)."""
+
+    def test_train_two_epochs(self, tmp_path):
+        from neat_tpu.train.runner import TrainRunner
+
+        generate_scene(str(tmp_path / "scn" / "0"), n_views=3, res=(48, 48),
+                       convention="scannet")
+        conf = TINY_CONF.format().replace(
+            "dataset_class = datasets.blender_hawp_dataset.BlenderDataset",
+            "dataset_class = datasets.scannet_hawp_dataset.SceneDataset",
+        ).replace(
+            "data_dir = toy",
+            "data_dir = scn\n    scan_id = 0\n    distance_threshold = 3.0\n"
+            "    max_verts = 16",
+        )
+        cpath = tmp_path / "scannet.conf"
+        cpath.write_text(conf)
+        r = TrainRunner(conf=str(cpath), data_root=str(tmp_path),
+                        exps_folder=str(tmp_path / "exps"), nepochs=2)
+        r.run()
+        assert osp.exists(osp.join(r.rundir, "checkpoints", "latest.ckpt"))
