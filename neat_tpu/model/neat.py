@@ -79,6 +79,10 @@ class NeatConfig:
     model_variant: str = "neat"  # 'neat' | 'volsdf' (no wireframe head)
     sampler_kind: str = "error_bound"  # 'error_bound' | 'uniform' (neat_uni)
     detach_line_weights: bool = True  # rend_a: True; rend: False
+    # rend family projects detached lines3d into the uncalibrated 2D loss
+    # (rend_a:439); the wfr_a/simple variants project it live (wfr_a:405,
+    # simple:345) so their uncalibrated-only losses still carry gradient
+    detach_lines2d: bool = True
     # two-pass training (reference neat_wfr_dual.py:351-502): RGB+eikonal
     # supervised on a uniformly-sampled pixel batch, wireframe/junction
     # terms on the attraction-support batch
@@ -136,7 +140,8 @@ class NeatConfig:
             implicit=ImplicitNetConfig(bias=0.6, sphere_scale=20.0),
             junctions=GlobalJunctionsConfig(num_junctions=1024),
             dbscan_enabled=True,
-            use_median=True,
+            # dtu.conf: fixed 10 px assignment gate, not the per-step median
+            use_median=False,
         )
 
 
@@ -349,7 +354,12 @@ def neat_forward(
     k3 = intrinsics[:3, :3]
     eye3 = jnp.eye(3, dtype=k3.dtype)
 
-    lines2d = project2d(k3, rot, trans, jax.lax.stop_gradient(lines3d))
+    lines2d = project2d(
+        k3,
+        rot,
+        trans,
+        jax.lax.stop_gradient(lines3d) if cfg.detach_lines2d else lines3d,
+    )
     lines2d_calib = project2d(eye3, rot, trans, lines3d)
 
     # tangent-plane intersection of the attraction-support ray (rend_a:444-454)
@@ -367,9 +377,11 @@ def neat_forward(
     l3d = line_ray_o + line_ray_d * t[:, None]
 
     e1, e2 = lines3d[:, 0], lines3d[:, 1]
+    # guard degenerate segments (e1 == e2 early in training): 0/0 would
+    # put NaNs through the median gate; matches the loss-side guard
     l3d_score = jax.lax.stop_gradient(
         jnp.linalg.norm(jnp.cross(l3d - e1, l3d - e2), axis=-1)
-        / jnp.linalg.norm(e1 - e2, axis=-1)
+        / jnp.maximum(jnp.linalg.norm(e1 - e2, axis=-1), 1e-6)
     )
 
     out.update(

@@ -205,7 +205,6 @@ def _error_bound(
     density_params,
     beta_min: float,
     sdf: jnp.ndarray,
-    z_vals: jnp.ndarray,
     dists: jnp.ndarray,
     d_star: jnp.ndarray,
 ) -> jnp.ndarray:
@@ -271,7 +270,7 @@ def error_bound_z_vals(
 
         # beta line search (reference ray_sampler.py:176-185)
         curr_error = _error_bound(
-            beta0, density_params, beta_min, sdf, z_vals, dists, d_star
+            beta0, density_params, beta_min, sdf, dists, d_star
         )
         beta = jnp.where(curr_error <= cfg.eps, beta0, beta)
         if cfg.beta_search == "grid":
@@ -285,7 +284,6 @@ def error_bound_z_vals(
                 density_params,
                 beta_min,
                 sdf[:, None, :],
-                z_vals[:, None, :],
                 dists[:, None, :],
                 d_star[:, None, :],
             )  # (R, K)
@@ -299,7 +297,7 @@ def error_bound_z_vals(
             for _ in range(cfg.beta_iters):
                 beta_mid = 0.5 * (beta_lo + beta_hi)
                 err = _error_bound(
-                    beta_mid[:, None], density_params, beta_min, sdf, z_vals, dists, d_star
+                    beta_mid[:, None], density_params, beta_min, sdf, dists, d_star
                 )
                 ok = err <= cfg.eps
                 beta_hi = jnp.where(ok, beta_mid, beta_hi)

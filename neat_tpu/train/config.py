@@ -191,9 +191,16 @@ _MODEL_CLASS_MAP: Dict[str, Dict[str, Any]] = {
     "model.networks.neat_wfr_rend_b.VolSDFNetwork": {"_attraction_mode": "no_view"},
     "model.networks.neat_wfr_rend_c.VolSDFNetwork": {"dbscan_include_global": True},
     "model.networks.neat_wfr.VolSDFNetwork": {"_attraction_mode": "no_view"},
-    "model.networks.neat_wfr_a.VolSDFNetwork": {"_attraction_mode": "no_view"},
+    "model.networks.neat_wfr_a.VolSDFNetwork": {
+        "_attraction_mode": "no_view",
+        # wfr_a projects lines3d live into the uncalibrated loss (wfr_a:405)
+        "detach_lines2d": False,
+    },
     "model.networks.neat_uni.VolSDFNetwork": {"sampler_kind": "uniform"},
-    "model.networks.neat_simple.VolSDFNetwork": {"_attraction_mode": "no_view"},
+    "model.networks.neat_simple.VolSDFNetwork": {
+        "_attraction_mode": "no_view",
+        "detach_lines2d": False,  # simple:345 projects lines3d live
+    },
     "model.networks.neat_wfr_dual.VolSDFNetwork": {"dual_batch": True},
     "model.neat_along_ray.VolSDFNetwork": {"_straightness": 0.01},
     "model.networks.neat_along_ray_v2.VolSDFNetwork": {"_straightness": 0.01},
@@ -355,20 +362,31 @@ def build_experiment_config(
     )
 
     loss_class = get_path(conf, "train.loss_class", "")
-    loss_overrides = _LOSS_CLASS_MAP.get(loss_class, {})
     lc = conf.get("loss", {})
     rgb_loss_name = lc.get("rgb_loss", "torch.nn.L1Loss")
+    # class-map structural defaults first, then every conf-provided key
+    # wins — the reference instantiates the loss class with the conf's
+    # loss block as kwargs, so conf values override class defaults there
     loss = dataclasses.replace(
         LossConfig(
             rgb_loss="l1" if "L1" in str(rgb_loss_name) else "mse",
-            eikonal_weight=float(lc.get("eikonal_weight", 0.1)),
-            line_weight=float(lc.get("line_weight", 0.01)),
-            junction_3d_weight=float(lc.get("junction_3d_weight", 0.1)),
-            junction_2d_weight=float(lc.get("junction_2d_weight", 0.01)),
-            straightness_weight=float(lc.get("straightness_weight", straightness)),
+            straightness_weight=straightness,
             assignment_method=assignment_method,
         ),
-        **loss_overrides,
+        **_LOSS_CLASS_MAP.get(loss_class, {}),
+    )
+    conf_casts = {
+        "eikonal_weight": float,
+        "line_weight": float,
+        "junction_3d_weight": float,
+        "junction_2d_weight": float,
+        "straightness_weight": float,
+        "line_gate_px": float,
+        "depth_weight": float,
+        "depth_loss_kind": str,
+    }
+    loss = dataclasses.replace(
+        loss, **{k: cast(lc[k]) for k, cast in conf_casts.items() if k in lc}
     )
 
     ds = conf.get("dataset", {})

@@ -168,6 +168,10 @@ class TrainRunner:
             supports_fused_sdf(self.cfg.model.implicit)
             and self.cfg.model.model_variant == "neat"
             and backend in ("tpu", "axon")
+            # the fused kernel evaluates proposals in bf16; a conf pinning
+            # sampler_compute_dtype = float32 asks for strict-parity f32
+            # proposals and must keep the XLA path
+            and self.cfg.model.sampler_compute_dtype == "bfloat16"
         ):
             self.cfg = dataclasses.replace(
                 self.cfg,
@@ -319,12 +323,30 @@ class TrainRunner:
         """Train; a checkpoint is always written on exit — including
         KeyboardInterrupt/SIGTERM — so crash-and-resume loses at most the
         in-flight epoch (the reference saves only on clean completion)."""
-        epoch = self.start_epoch
+        import signal
+
+        # SIGTERM (preemption, driver kill) must unwind through the
+        # finally below; the default handler would skip it
+        def _on_term(signum, frame):
+            raise SystemExit(128 + signum)
+
+        prev_handler = None
         try:
-            epoch = self._run_epochs()
+            prev_handler = signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:  # non-main thread: keep default behavior
+            pass
+
+        # _run_epochs updates _current_epoch as it goes so an interrupt
+        # mid-run saves the params' true epoch, not start_epoch
+        self._current_epoch = self.start_epoch
+        try:
+            self._current_epoch = self._run_epochs()
         finally:
+            epoch = self._current_epoch
             self.save(epoch)
             self.dump_junctions(epoch)
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
 
         self.logger.info(f"Training finished after {epoch} epochs")
         if self.gitexp:
@@ -354,6 +376,7 @@ class TrainRunner:
 
         epoch = self.start_epoch
         for epoch in range(self.start_epoch, cfg.nepochs + 1):
+            self._current_epoch = epoch
             if epoch % cfg.checkpoint_freq == 0:
                 self.save(epoch)
             # per-epoch junction snapshot (reference volsdf_train.py:336-343)

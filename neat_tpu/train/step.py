@@ -95,6 +95,9 @@ def sample_batch(
     shuffle, batch 1) and uniform-with-replacement pixels from the support
     mask (blender_hawp_dataset.py:186-198).
     """
+    # NOTE: the dual-batch branch of make_train_step replays this exact
+    # (split -> randint) sequence to reuse the same view for its uniform
+    # pass; keep the first draw in sync
     r_view, r_pix = jax.random.split(rng)
     n_views = scene["rgb"].shape[0]
     v = jax.random.randint(r_view, (), 0, n_views)
@@ -193,8 +196,13 @@ def make_train_step(
         r_batch, r_fwd = jax.random.split(jax.random.fold_in(rng, state.step))
         inputs, ground_truth = sample_batch(r_batch, scene, n_rays, img_width)
         if model_cfg.dual_batch:
-            r_view, r_uni = jax.random.split(jax.random.fold_in(r_batch, 1))
+            # the reference's two-pass variant samples uv0 and uv from the
+            # SAME DataLoader view (neat_wfr_dual.py:351-353); recover the
+            # view sample_batch drew by replaying its rng split (kept in
+            # sync with sample_batch's first draw)
+            r_view, _ = jax.random.split(r_batch)
             view = jax.random.randint(r_view, (), 0, scene["rgb"].shape[0])
+            r_uni = jax.random.fold_in(r_batch, 1)
             uni_inputs, uni_gt = sample_uniform_batch(
                 r_uni, scene, n_rays, img_width, view
             )

@@ -203,3 +203,25 @@ class TestShardedChunkInference:
         assert round_chunk_to_mesh(64, mesh) == 64
         assert round_chunk_to_mesh(60, mesh) == 64
         assert round_chunk_to_mesh(60, None) == 60
+
+
+def test_dual_batch_uniform_pass_uses_same_view():
+    """Reference neat_wfr_dual samples uv0 and uv from the SAME view
+    (neat_wfr_dual.py:351-353); the step's replayed rng split must
+    recover exactly the view sample_batch drew."""
+    from neat_tpu.train.step import sample_batch
+
+    scene_np = _tiny_scene(3)
+    # distinct per-view poses so a view mismatch is observable
+    scene_np["pose"] = scene_np["pose"].copy()
+    scene_np["pose"][:, 0, 3] = np.arange(N_VIEWS, dtype=np.float32)
+    scene = {k: jnp.asarray(v) for k, v in scene_np.items()}
+    for i in range(6):
+        r_batch = jax.random.fold_in(jax.random.PRNGKey(11), i)
+        inputs, _ = sample_batch(r_batch, scene, N_RAYS, IMG_W)
+        # the dual branch's replay (make_train_step)
+        r_view, _ = jax.random.split(r_batch)
+        view = jax.random.randint(r_view, (), 0, scene["rgb"].shape[0])
+        np.testing.assert_array_equal(
+            np.asarray(inputs["pose"]), np.asarray(scene["pose"][view])
+        )

@@ -182,3 +182,35 @@ class TestScanNetRunner:
                         exps_folder=str(tmp_path / "exps"), nepochs=2)
         r.run()
         assert osp.exists(osp.join(r.rundir, "checkpoints", "latest.ckpt"))
+
+
+class TestInterruptSave:
+    def test_interrupt_saves_current_epoch(self, workspace, tmp_path):
+        """An interrupt mid-run must checkpoint the epoch training had
+        actually reached (resume re-runs the in-flight epoch), not
+        start_epoch — a stale tag would re-run the whole schedule."""
+        from neat_tpu.train.checkpoint import load_checkpoint
+        from neat_tpu.train.runner import TrainRunner
+
+        r = TrainRunner(
+            conf=str(workspace / "tiny.conf"),
+            data_root=str(workspace),
+            exps_folder=str(tmp_path / "exps"),
+            nepochs=10,
+        )
+        orig = r.dump_junctions
+        armed = {"on": True}
+
+        def bomb(epoch):
+            if epoch == 3 and armed["on"]:
+                armed["on"] = False
+                raise KeyboardInterrupt
+            orig(epoch)
+
+        r.dump_junctions = bomb
+        with pytest.raises(KeyboardInterrupt):
+            r.run()
+        _, epoch = load_checkpoint(
+            osp.join(r.rundir, "checkpoints"), "latest"
+        )
+        assert epoch == 3

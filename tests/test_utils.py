@@ -201,3 +201,60 @@ class TestVoteRatio:
         assert effective_vote_threshold(1, 0.1, 49) == 5
         # never drops below the absolute threshold
         assert effective_vote_threshold(8, 0.1, 30) == 8
+
+
+class TestLossConfOverrides:
+    """The conf's loss block must win over the loss-class map defaults
+    (the reference instantiates the loss class with the conf's kwargs)."""
+
+    def _parse(self, loss_class, loss_block):
+        import textwrap
+
+        from neat_tpu.train.config import build_experiment_config, parse_hocon
+
+        conf = parse_hocon(textwrap.dedent(f"""
+            train {{
+                expname = t
+                dataset_class = datasets.blender_hawp_dataset.BlenderDataset
+                model_class = model.networks.neat_wfr_rend_a.VolSDFNetwork
+                loss_class = {loss_class}
+                num_pixels = 8
+            }}
+            loss {{
+            {loss_block}
+            }}
+            dataset {{
+                data_dir = toy
+                img_res = [8, 8]
+            }}
+            model {{
+            }}
+        """))
+        return build_experiment_config(conf)
+
+    def test_conf_depth_weight_wins_over_class_map(self):
+        cfg = self._parse(
+            "model.networks.loss_wfr_spd.VolSDFLoss", "    depth_weight = 0.5"
+        )
+        assert cfg.loss.depth_weight == 0.5
+
+    def test_class_map_default_applies_without_conf_key(self):
+        cfg = self._parse("model.networks.loss_wfr_rpd.VolSDFLoss", "")
+        assert cfg.loss.depth_weight == 0.1
+        assert cfg.loss.depth_loss_kind == "ssi"
+
+    def test_plain_loss_accepts_conf_depth(self):
+        cfg = self._parse(
+            "model.networks.loss_wfr.VolSDFLoss", "    depth_weight = 0.2"
+        )
+        assert cfg.loss.depth_weight == 0.2
+
+    def test_detach_lines2d_variant_flags(self):
+        from neat_tpu.train.config import _MODEL_CLASS_MAP
+
+        assert _MODEL_CLASS_MAP[
+            "model.networks.neat_wfr_a.VolSDFNetwork"
+        ]["detach_lines2d"] is False
+        assert "detach_lines2d" not in _MODEL_CLASS_MAP[
+            "model.networks.neat_wfr_rend_a.VolSDFNetwork"
+        ]
