@@ -86,12 +86,13 @@ def auction_assignment(
     benefit = jnp.where(row_mask[:, None], benefit, -_BIG)
     row_ids = jnp.arange(n_rows, dtype=jnp.int32)
 
+    live = jnp.abs(benefit) < _BIG / 2
+    lo = jnp.min(jnp.where(live, benefit, jnp.inf))
+    hi = jnp.max(jnp.where(live, benefit, -jnp.inf))
+    spread = jnp.maximum(jnp.where(jnp.isfinite(hi - lo), hi - lo, 1.0), 1e-6)
+    lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
     if eps is None:
         # slack ~ spread / rows: near-optimal yet fast to converge
-        live = jnp.abs(benefit) < _BIG / 2
-        lo = jnp.min(jnp.where(live, benefit, jnp.inf))
-        hi = jnp.max(jnp.where(live, benefit, -jnp.inf))
-        spread = jnp.maximum(jnp.where(jnp.isfinite(hi - lo), hi - lo, 1.0), 1e-6)
         eps_val = spread / (n_rows + 1)
     else:
         eps_val = jnp.asarray(eps)
@@ -109,8 +110,27 @@ def auction_assignment(
         active = active & (best_v > -_BIG / 2)
         value2 = value.at[row_ids, best_j].set(-jnp.inf)
         second_v = jnp.max(value2, axis=1)
-        bid = prices[best_j] + (best_v - second_v) + eps_val
+        # a row saturates when it has a single live column (second_v =
+        # -inf): the usual bid would be +inf and the isfinite gate below
+        # would reject it forever. Saturation only happens when there is
+        # exactly ONE live column, so every bidder saturates together;
+        # bid the spread-anchored absolute benefit (a_ij - lo + eps) —
+        # cheaper rows bid strictly higher at float-safe magnitudes, the
+        # best row wins, and the standing-price gate retires the losers
+        bid = jnp.where(
+            jnp.isfinite(second_v),
+            prices[best_j] + (best_v - second_v) + eps_val,
+            (best_v + prices[best_j]) - lo + eps_val,
+        )
         bid = jnp.where(active, bid, -jnp.inf)
+        # a saturated bid at or below the standing price cannot win —
+        # dropping it retires the losers and terminates the single-column
+        # contest. (Normal bids must NOT be gated on the standing price:
+        # at tiny eps, price + eps can round to price in f32 and the gate
+        # would deadlock near-tie rows.)
+        bid = jnp.where(
+            ~jnp.isfinite(second_v) & (bid <= prices[best_j]), -jnp.inf, bid
+        )
 
         # each column accepts the single highest bid; ties -> lowest row id
         col_best = jnp.full((n_cols,), -jnp.inf).at[best_j].max(bid, mode="drop")

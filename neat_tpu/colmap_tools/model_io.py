@@ -258,11 +258,18 @@ def _read_images_bin(path) -> Dict[int, Image]:
                     break
                 name += c
             (n_pts,) = _read_next(f, "<Q")
-            data = np.asarray(_read_next(f, f"<{3 * n_pts}d")).reshape(-1, 3)
-            out[iid] = Image(
-                iid, qvec, tvec, cam_id, name.decode(), data[:, :2],
-                data[:, 2].astype(np.int64),
+            # COLMAP point2D record is 'ddq': x, y doubles + int64
+            # POINT3D_ID (NOT three doubles — reading the id as a double
+            # silently corrupts every id)
+            data = _read_next(f, "<" + "ddq" * n_pts)
+            xys = np.asarray(
+                [(data[3 * i], data[3 * i + 1]) for i in range(n_pts)],
+                dtype=np.float64,
+            ).reshape(-1, 2)
+            ids = np.asarray(
+                [data[3 * i + 2] for i in range(n_pts)], dtype=np.int64
             )
+            out[iid] = Image(iid, qvec, tvec, cam_id, name.decode(), xys, ids)
     return out
 
 
@@ -301,7 +308,7 @@ def _write_images_bin(images: Dict[int, Image], path) -> None:
             f.write(im.name.encode() + b"\x00")
             f.write(struct.pack("<Q", len(im.xys)))
             for (x, y), pid in zip(im.xys, im.point3D_ids):
-                f.write(struct.pack("<3d", x, y, float(pid)))
+                f.write(struct.pack("<ddq", x, y, int(pid)))
 
 
 def _write_points3d_bin(points: Dict[int, Point3D], path) -> None:

@@ -614,3 +614,53 @@ def load_scene(kind: str, **kwargs) -> SceneData:
     'scannet') — the analogue of the reference's class-path-as-config
     dataset dispatch (utils/general.py:9-15)."""
     return _LOADERS[kind](**kwargs)
+
+
+def load_scene_for_config(
+    cfg,
+    data_root: str,
+    distance_threshold: Optional[float] = None,
+    with_wireframes: Optional[bool] = None,
+) -> SceneData:
+    """Rebuild the scene an ExperimentConfig describes — the ONE dispatch
+    used by the runner, finalization, render eval, and the distill/debug
+    CLIs (it drifted when each had its own copy). ``distance_threshold``
+    overrides the conf value (finalization rebuilds at 1.0, reference
+    neat-final-parsing.py:349-372)."""
+    kind = cfg.dataset_kind
+    kwargs = dict(
+        data_dir=cfg.data_dir,
+        img_res=cfg.img_res,
+        data_root=data_root,
+        distance_threshold=(
+            cfg.distance_threshold
+            if distance_threshold is None
+            else distance_threshold
+        ),
+        max_verts=cfg.model.max_verts,
+        line_detector=cfg.line_detector,
+    )
+    if with_wireframes is not None:
+        kwargs["with_wireframes"] = with_wireframes
+    if kind in ("dtu", "scene"):
+        kwargs["scan_id"] = cfg.scan_id
+        kwargs["depth_dir"] = cfg.depth_dir
+        return load_scene("dtu", **kwargs)
+    if kind == "scene_line":
+        kwargs["scan_id"] = cfg.scan_id
+        kwargs["lines_npz"] = cfg.lines_npz
+        # file-based depth maps load first; attach_line_depth_cues then
+        # only fills views the line cues cover
+        kwargs["depth_dir"] = cfg.depth_dir
+        return load_scene("scene_line", **kwargs)
+    if kind == "scannet":
+        kwargs["scan_id"] = cfg.scan_id
+        return load_scene("scannet", **kwargs)
+    if kind == "blender_plain":
+        kwargs["with_wireframes"] = False
+        return load_scene("blender", **kwargs)
+    if kind == "dtu_plain":
+        kwargs["with_wireframes"] = False
+        kwargs["scan_id"] = cfg.scan_id
+        return load_scene("dtu", **kwargs)
+    return load_scene("blender", **kwargs)

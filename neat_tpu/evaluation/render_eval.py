@@ -150,7 +150,7 @@ def export_scene_mesh(
 def main(argv=None):
     from ..train.config import load_experiment_config
     from ..train.checkpoint import load_checkpoint
-    from ..data.datasets import load_scene
+    from ..data.datasets import load_scene_for_config
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--conf", type=str, required=True, help="runconf.conf path")
@@ -168,16 +168,7 @@ def main(argv=None):
     cfg = load_experiment_config(args.conf)
     state, epoch = load_checkpoint(osp.join(rundir, "checkpoints"), args.checkpoint)
 
-    kind = cfg.dataset_kind
-    kwargs = dict(
-        data_dir=cfg.data_dir, img_res=cfg.img_res, data_root=args.data_root,
-        max_verts=cfg.model.max_verts, line_detector=cfg.line_detector,
-    )
-    if kind in ("dtu", "scene"):
-        kwargs["scan_id"] = cfg.scan_id
-        scene = load_scene("dtu", **kwargs)
-    else:
-        scene = load_scene("blender", **kwargs)
+    scene = load_scene_for_config(cfg, args.data_root)
 
     out_dir = osp.join(rundir, "evaluation")
     views = [int(v) for v in args.views.split(",")] if args.views else None

@@ -233,37 +233,9 @@ class TrainRunner:
 
     # ------------------------------------------------------------------
     def _load_scene(self) -> SceneData:
-        kind = self.cfg.dataset_kind
-        kwargs = dict(
-            data_dir=self.cfg.data_dir,
-            img_res=self.cfg.img_res,
-            data_root=self.data_root,
-            distance_threshold=self.cfg.distance_threshold,
-            max_verts=self.cfg.model.max_verts,
-            line_detector=self.cfg.line_detector,
-        )
-        if kind in ("dtu", "scene"):
-            kwargs["scan_id"] = self.cfg.scan_id
-            kwargs["depth_dir"] = self.cfg.depth_dir
-            return load_scene("dtu", **kwargs)
-        if kind == "scene_line":
-            kwargs["scan_id"] = self.cfg.scan_id
-            kwargs["lines_npz"] = self.cfg.lines_npz
-            # file-based depth maps load first; attach_line_depth_cues
-            # then only fills views the line cues cover
-            kwargs["depth_dir"] = self.cfg.depth_dir
-            return load_scene("scene_line", **kwargs)
-        if kind == "scannet":
-            kwargs["scan_id"] = self.cfg.scan_id
-            return load_scene("scannet", **kwargs)
-        if kind == "blender_plain":
-            kwargs["with_wireframes"] = False
-            return load_scene("blender", **kwargs)
-        if kind == "dtu_plain":
-            kwargs["with_wireframes"] = False
-            kwargs["scan_id"] = self.cfg.scan_id
-            return load_scene("dtu", **kwargs)
-        return load_scene("blender", **kwargs)
+        from ..data.datasets import load_scene_for_config
+
+        return load_scene_for_config(self.cfg, self.data_root)
 
     def _make_logger(self):
         logger = logging.getLogger(f"train.{self.timestamp}")

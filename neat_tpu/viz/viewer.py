@@ -179,7 +179,9 @@ def render_pinhole_view(
         p2d = (p2d[:2] / p2d[2:]).T
         ax.scatter(p2d[:, 0], p2d[:, 1], color="r", s=2.0, edgecolors="none",
                    zorder=6)
-    fig.savefig(out_path, dpi=width)
+    # figure is (width/height, 1) inches -> dpi must be the HEIGHT for the
+    # png to come out (width, height) pixels (dpi=width breaks non-square)
+    fig.savefig(out_path, dpi=height)
     plt.close(fig)
     return lines2d
 

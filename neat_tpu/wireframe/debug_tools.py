@@ -173,7 +173,7 @@ def debug_recon(
 def main(argv=None):
     from ..train.config import load_experiment_config
     from ..train.checkpoint import load_checkpoint
-    from ..data.datasets import load_scene
+    from ..data.datasets import load_scene_for_config
 
     parser = argparse.ArgumentParser(
         description="distillation debug dumps (reference wireframe-debug.py/debug.py)"
@@ -194,20 +194,7 @@ def main(argv=None):
     cfg = load_experiment_config(args.conf)
     state, _ = load_checkpoint(osp.join(rundir, "checkpoints"), args.checkpoint)
 
-    kind = cfg.dataset_kind
-    kwargs = dict(
-        data_dir=cfg.data_dir,
-        img_res=cfg.img_res,
-        data_root=args.data_root,
-        distance_threshold=1.0,
-        max_verts=cfg.model.max_verts,
-        line_detector=cfg.line_detector,
-    )
-    if kind in ("dtu", "scene"):
-        kwargs["scan_id"] = cfg.scan_id
-        scene = load_scene("dtu", **kwargs)
-    else:
-        scene = load_scene("blender", **kwargs)
+    scene = load_scene_for_config(cfg, args.data_root, distance_threshold=1.0)
 
     out_dir = args.out or osp.join(rundir, "debug")
     if args.mode == "recon":

@@ -197,22 +197,13 @@ def _cli_load_run(conf: str, checkpoint: str, data_root: str):
 
     from ..train.config import load_experiment_config
     from ..train.checkpoint import load_checkpoint
-    from ..data.datasets import load_scene
+    from ..data.datasets import load_scene_for_config
 
     assert osp.basename(conf) == "runconf.conf"
     rundir = osp.dirname(conf)
     cfg = load_experiment_config(conf)
     state, epoch = load_checkpoint(osp.join(rundir, "checkpoints"), checkpoint)
-    kwargs = dict(
-        data_dir=cfg.data_dir, img_res=cfg.img_res, data_root=data_root,
-        distance_threshold=1.0, max_verts=cfg.model.max_verts,
-        line_detector=cfg.line_detector,
-    )
-    if cfg.dataset_kind in ("dtu", "scene"):
-        kwargs["scan_id"] = cfg.scan_id
-        scene = load_scene("dtu", **kwargs)
-    else:
-        scene = load_scene("blender", **kwargs)
+    scene = load_scene_for_config(cfg, data_root, distance_threshold=1.0)
     return rundir, cfg, state, epoch, scene
 
 

@@ -72,8 +72,9 @@ def newton_refine_junctions(
     params, cfg: NeatConfig, sdf_threshold: float = 0.05
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Decode global junctions, one Newton step onto the zero level set,
-    sort by |sdf| (reference :173-187). Returns (junctions (J, 3),
-    is_valid (J,))."""
+    sort by SIGNED sdf exactly as the reference does (:181
+    ``argsort(glj_sdf)`` — most-negative/interior first, not by |sdf|).
+    Returns (junctions (J, 3), is_valid (J,) = |sdf| < threshold)."""
     pts = global_junctions_forward(params["junctions"], cfg.junctions)
     sdf, _, grad = implicit_sdf_feat_grad(params["implicit"], pts, cfg.implicit)
     pts = jax.lax.stop_gradient(pts - sdf * grad)
@@ -149,6 +150,13 @@ def view_field_lines(
         lines3d_all.append(np.asarray(l3)[:n])
         lines2d_all.append(np.asarray(l2)[:n])
         l3d_all.append(np.asarray(lp)[:n])
+    if not lines3d_all:  # a view with an empty support mask
+        return (
+            np.zeros((0, 2, 3), np.float32),
+            np.zeros((0, 4), np.float32),
+            np.zeros((0, 3), np.float32),
+            labels,
+        )
     return (
         np.concatenate(lines3d_all),
         np.concatenate(lines2d_all),
@@ -377,8 +385,17 @@ def distill_views(
                 f"{sum(l.shape[0] for l in lines3d_all)} lines"
             )
 
-    lines3d_all = np.concatenate(lines3d_all, axis=0)
-    scores_all = np.concatenate(scores_all, axis=0)
+    # an underfit checkpoint can produce zero matched lines in every view;
+    # return empty results instead of crashing after the full sweep
+    if lines3d_all:
+        lines3d_all = np.concatenate(lines3d_all, axis=0)
+    else:
+        lines3d_all = np.zeros((0, 2, 3), dtype=np.float32)
+    scores_all = (
+        np.concatenate(scores_all, axis=0)
+        if scores_all
+        else np.zeros((0,), dtype=np.float32)
+    )
     votes_idx = np.asarray(
         [k for k, v in gjc_votes.items() for _ in v], dtype=np.int32
     )
@@ -538,8 +555,7 @@ def wireframe_recon(
     """
     from ..train.config import load_experiment_config
     from ..train.checkpoint import load_checkpoint
-    from ..train.runner import TrainRunner  # for _load_scene logic
-    from ..data.datasets import load_scene
+    from ..data.datasets import load_scene_for_config
 
     assert osp.basename(conf) == "runconf.conf", "pass a rundir runconf.conf"
     rundir = osp.dirname(conf)
@@ -549,22 +565,7 @@ def wireframe_recon(
     params = state.params
 
     # rebuild the dataset at distance_threshold = 1 (reference :349-372)
-    kind = cfg.dataset_kind
-    kwargs = dict(
-        data_dir=cfg.data_dir,
-        img_res=cfg.img_res,
-        data_root=data_root,
-        distance_threshold=1.0,
-        max_verts=cfg.model.max_verts,
-        line_detector=cfg.line_detector,
-    )
-    if kind in ("dtu", "scene", "scene_line"):
-        # scene_line trains with extra depth cues; finalization needs only
-        # the DTU-convention geometry + wireframes
-        kwargs["scan_id"] = cfg.scan_id
-        scene = load_scene("dtu", **kwargs)
-    else:
-        scene = load_scene("blender", **kwargs)
+    scene = load_scene_for_config(cfg, data_root, distance_threshold=1.0)
 
     wireframe_dir = osp.join(rundir, "wireframes")
     os.makedirs(wireframe_dir, exist_ok=True)
@@ -576,6 +577,10 @@ def wireframe_recon(
         {
             "conf": conf,
             "checkpoint": checkpoint,
+            # the RESOLVED epoch: 'latest' changes meaning as training
+            # continues; without it a re-run would silently reuse the old
+            # checkpoint's distillation with the new params
+            "epoch": int(epoch),
             "distance": distance,
             "junc_match_threshold": junc_match_threshold,
             "sdf_junction_refine": sdf_junction_refine,

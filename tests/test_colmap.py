@@ -95,3 +95,42 @@ class TestDepthIO:
         write_array(p, arr)
         out = read_array(p)
         np.testing.assert_allclose(out, arr, rtol=1e-6)
+
+
+class TestImagesBinLayout:
+    def test_point2d_record_is_ddq(self, tmp_path):
+        """COLMAP's images.bin point2D record is x (d), y (d),
+        POINT3D_ID (q = int64). Reading the id as a double silently
+        corrupts every id (incl. the -1 invalid marker and ids beyond
+        2^53); pin the byte layout against a hand-packed file."""
+        import struct
+
+        from neat_tpu.colmap_tools.model_io import (
+            Image,
+            _read_images_bin,
+            _write_images_bin,
+        )
+
+        big_id = (1 << 60) + 3  # not representable as a float64
+        path = tmp_path / "images.bin"
+        with open(path, "wb") as f:
+            f.write(struct.pack("<Q", 1))
+            f.write(struct.pack("<i", 7))
+            f.write(struct.pack("<4d", 1.0, 0.0, 0.0, 0.0))
+            f.write(struct.pack("<3d", 0.1, 0.2, 0.3))
+            f.write(struct.pack("<i", 1))
+            f.write(b"img.png\x00")
+            f.write(struct.pack("<Q", 2))
+            f.write(struct.pack("<ddq", 10.5, 20.5, big_id))
+            f.write(struct.pack("<ddq", 1.0, 2.0, -1))
+
+        images = _read_images_bin(path)
+        im = images[7]
+        assert im.point3D_ids[0] == big_id
+        assert im.point3D_ids[1] == -1
+        np.testing.assert_allclose(im.xys, [[10.5, 20.5], [1.0, 2.0]])
+
+        # write-back is byte-identical
+        out = tmp_path / "rt.bin"
+        _write_images_bin(images, out)
+        assert out.read_bytes() == path.read_bytes()

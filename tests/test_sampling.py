@@ -161,6 +161,19 @@ class TestErrorBound:
 
 
 class TestAssignment:
+    def test_single_column_assigns_best_row(self):
+        """One live column: second_v is -inf, so the bid saturates; the
+        cheapest row must still win (regression: the +inf bid used to be
+        rejected by the isfinite gate and NOTHING was ever assigned)."""
+        from neat_tpu.assignment.matching import auction_assignment
+
+        cost = jnp.asarray(np.array([[3.0], [1.0], [2.0]], np.float32))
+        col, valid, _ = auction_assignment(
+            cost, jnp.ones(3, bool), jnp.ones(1, bool), n_iters=16
+        )
+        assert np.asarray(valid).tolist() == [False, True, False]
+        assert int(col[1]) == 0
+
     def test_auction_matches_scipy_square(self):
         from neat_tpu.assignment import masked_assignment
         from scipy.optimize import linear_sum_assignment

@@ -41,7 +41,7 @@ def capture_cost_matrices(rundir, data_root, n_steps, checkpoint="latest"):
     from neat_tpu.train.checkpoint import load_checkpoint
     from neat_tpu.train.step import sample_batch
     from neat_tpu.train.runner import scene_to_device
-    from neat_tpu.data.datasets import load_scene
+    from neat_tpu.data.datasets import load_scene_for_config
     from neat_tpu.model.neat import neat_forward
     from neat_tpu.core.camera import project2d
 
@@ -49,19 +49,7 @@ def capture_cost_matrices(rundir, data_root, n_steps, checkpoint="latest"):
     state, epoch = load_checkpoint(osp.join(rundir, "checkpoints"), checkpoint)
     print(f"checkpoint epoch {epoch}, max_verts={cfg.model.max_verts}")
 
-    kwargs = dict(
-        data_dir=cfg.data_dir,
-        img_res=cfg.img_res,
-        data_root=data_root,
-        distance_threshold=cfg.distance_threshold,
-        max_verts=cfg.model.max_verts,
-        line_detector=cfg.line_detector,
-    )
-    if cfg.dataset_kind in ("dtu", "scene", "scene_line"):
-        kwargs["scan_id"] = cfg.scan_id
-        scene = load_scene("dtu", **kwargs)
-    else:
-        scene = load_scene("blender", **kwargs)
+    scene = load_scene_for_config(cfg, data_root)
     scene_dev = scene_to_device(scene)
 
     import functools
