@@ -34,6 +34,14 @@ void encodels(const float* lines,  // (n_lines, 4): x1 y1 x2 y2
               int32_t* labels  // out: (height, width)
 ) {
   const long hw = (long)height * width;
+  // a view with zero detected lines must not read lines[0..3] (the
+  // Python-level assert guarding this is stripped under -O): zero-fill
+  // the maps and return
+  if (n_lines <= 0) {
+    for (long k = 0; k < 6 * hw; ++k) lmap[k] = 0.f;
+    for (long k = 0; k < hw; ++k) labels[k] = 0;
+    return;
+  }
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static)
 #endif

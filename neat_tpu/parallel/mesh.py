@@ -49,16 +49,19 @@ def shard_scene(scene: Dict, mesh: Mesh) -> Dict:
     replicated. Device-side gathers during batch sampling then produce
     ray-sharded batches directly.
     """
-    import jax.numpy as jnp
-
     per_pixel = ("rgb", "labels", "uv_proj", "mask", "depth", "support_idx")
     out = {}
     for k, v in scene.items():
-        arr = jnp.asarray(v)
+        arr = np.asarray(v)
         if arr.ndim >= 2 and k in per_pixel:
             spec = P(None, "data")
         else:
             spec = P()
+        # hand device_put the HOST array: it shards host-side, each chip
+        # receiving only its slice. Staging through jnp.asarray first
+        # would materialize the full table on the default device —
+        # defeating the cross-chip HBM split (and OOMing on scenes larger
+        # than one chip's HBM).
         out[k] = jax.device_put(arr, NamedSharding(mesh, spec))
     return out
 

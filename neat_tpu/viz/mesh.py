@@ -59,19 +59,30 @@ def marching_tetrahedra(
     origin = np.asarray(origin, dtype=np.float64)
     spacing = np.asarray(spacing, dtype=np.float64)
 
-    # corner values for every cube: (C, 8)
-    ix, iy, iz = np.meshgrid(
-        np.arange(nx - 1), np.arange(ny - 1), np.arange(nz - 1), indexing="ij"
-    )
-    base = np.stack([ix, iy, iz], axis=-1).reshape(-1, 3)  # (C, 3)
-    # skip cubes with no sign change early
-    corner_idx = base[:, None, :] + _CUBE_CORNERS[None, :, :]  # (C, 8, 3)
-    cv = values[corner_idx[..., 0], corner_idx[..., 1], corner_idx[..., 2]]
-    has_cross = (cv.min(axis=1) < 0) & (cv.max(axis=1) > 0)
-    base = base[has_cross]
-    cv = cv[has_cross]
-    if base.shape[0] == 0:
+    # sign-change filter in x-slabs of shifted VIEWS of `values`: peak
+    # memory is one slab of corner values, not an all-cubes (C, 8, 3)
+    # int64 index tensor (which alone would be ~25 GB at resolution 512)
+    crossing_base, crossing_cv = [], []
+    slab = max(1, (1 << 22) // max((ny - 1) * (nz - 1), 1))
+    for x0 in range(0, nx - 1, slab):
+        x1 = min(x0 + slab, nx - 1)
+        cv = np.stack(
+            [
+                values[x0 + dx : x1 + dx, dy : dy + ny - 1, dz : dz + nz - 1]
+                for dx, dy, dz in _CUBE_CORNERS
+            ],
+            axis=-1,
+        ).reshape(-1, 8)
+        cross = (cv.min(axis=1) < 0) & (cv.max(axis=1) > 0)
+        flat = np.nonzero(cross)[0]
+        if flat.size:
+            bx, by, bz = np.unravel_index(flat, (x1 - x0, ny - 1, nz - 1))
+            crossing_base.append(np.stack([bx + x0, by, bz], axis=-1))
+            crossing_cv.append(cv[flat])
+    if not crossing_base:
         return np.zeros((0, 3)), np.zeros((0, 3), dtype=np.int64)
+    base = np.concatenate(crossing_base)
+    cv = np.concatenate(crossing_cv)
 
     # tetrahedra: (C, 6, 4) corner ids -> values and positions
     tv = cv[:, _CUBE_TETS]  # (C, 6, 4)
@@ -201,7 +212,9 @@ def save_ply(path: str, verts: np.ndarray, faces: Optional[np.ndarray] = None) -
 
 
 def load_ply(path: str) -> Tuple[np.ndarray, np.ndarray]:
-    """Minimal ASCII/binary-little-endian PLY reader (verts + faces)."""
+    """Minimal PLY reader (verts + faces): ascii, binary_little_endian and
+    binary_big_endian, with per-property dtypes and the face list's
+    count/index types taken from the header."""
     with open(path, "rb") as f:
         header = []
         while True:
@@ -219,6 +232,7 @@ def load_ply(path: str) -> Tuple[np.ndarray, np.ndarray]:
             "float": "f4", "float32": "f4", "double": "f8", "float64": "f8",
         }
         elem = None
+        face_count_t, face_index_t = "u1", "i4"
         for line in header:
             parts = line.split()
             if not parts:
@@ -233,6 +247,12 @@ def load_ply(path: str) -> Tuple[np.ndarray, np.ndarray]:
                     n_face = int(parts[2])
             elif parts[0] == "property" and elem == "vertex":
                 props.append((parts[-1], _PLY_TYPES.get(parts[1], "f4")))
+            elif parts[0] == "property" and elem == "face" and parts[1] == "list":
+                face_count_t = _PLY_TYPES.get(parts[2], "u1")
+                face_index_t = _PLY_TYPES.get(parts[3], "i4")
+        if fmt not in ("ascii", "binary_little_endian", "binary_big_endian"):
+            raise ValueError(f"unsupported PLY format: {fmt}")
+        bo = ">" if fmt == "binary_big_endian" else "<"
         if fmt == "ascii":
             verts = np.loadtxt(
                 [f.readline() for _ in range(n_vert)], dtype=np.float32
@@ -244,16 +264,18 @@ def load_ply(path: str) -> Tuple[np.ndarray, np.ndarray]:
             return verts, np.asarray(faces, dtype=np.int64).reshape(-1, 3)
         else:
             # honor per-property dtypes (uchar colors, double coords, ...)
-            rec = np.dtype([(name, "<" + t) for name, t in props])
+            rec = np.dtype([(name, bo + t) for name, t in props])
             data = np.frombuffer(f.read(n_vert * rec.itemsize), dtype=rec)
             names = [name for name, _ in props]
             verts = np.stack(
                 [data[names[i]].astype(np.float32) for i in range(3)], axis=1
             )
+            cnt_dt = np.dtype(bo + face_count_t)
+            idx_dt = np.dtype(bo + face_index_t)
             faces = np.zeros((n_face, 3), dtype=np.int64)
             for i in range(n_face):
-                cnt = np.frombuffer(f.read(1), dtype=np.uint8)[0]
-                idx = np.frombuffer(f.read(4 * cnt), dtype="<i4")
+                cnt = int(np.frombuffer(f.read(cnt_dt.itemsize), dtype=cnt_dt)[0])
+                idx = np.frombuffer(f.read(idx_dt.itemsize * cnt), dtype=idx_dt)
                 faces[i] = idx[:3]
             return verts, faces
 

@@ -258,3 +258,29 @@ class TestLossConfOverrides:
         assert "detach_lines2d" not in _MODEL_CLASS_MAP[
             "model.networks.neat_wfr_rend_a.VolSDFNetwork"
         ]
+
+
+class TestMarchingTetrahedra:
+    def test_sphere_surface(self):
+        """Unit-sphere SDF -> mesh with all vertices on the surface; also
+        exercises the slab-chunked sign-change filter (seams at slab
+        boundaries must not drop or duplicate cubes)."""
+        from neat_tpu.viz.mesh import marching_tetrahedra
+
+        n = 40
+        g = np.linspace(-1.2, 1.2, n).astype(np.float32)
+        X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+        vals = np.sqrt(X**2 + Y**2 + Z**2) - 1.0
+        verts, faces = marching_tetrahedra(
+            vals, origin=[-1.2] * 3, spacing=[g[1] - g[0]] * 3
+        )
+        assert len(verts) > 1000 and len(faces) > 1000
+        r = np.linalg.norm(verts, axis=1)
+        assert abs(r.mean() - 1.0) < 0.01 and r.std() < 0.01
+
+    def test_empty_grid(self):
+        from neat_tpu.viz.mesh import marching_tetrahedra
+
+        vals = np.ones((8, 8, 8), np.float32)  # no crossing anywhere
+        verts, faces = marching_tetrahedra(vals, [0, 0, 0], [1, 1, 1])
+        assert verts.shape == (0, 3) and faces.shape == (0, 3)

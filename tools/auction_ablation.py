@@ -94,11 +94,18 @@ def evaluate(mats, n_iters_list=(32, 64, 128, 256), eps=None):
 
     from neat_tpu.assignment.matching import auction_assignment
 
+    # scipy optimum per matrix, computed once (identical across n_iters)
+    optima = []
+    for jcost, row_mask in mats:
+        live = np.nonzero(row_mask)[0]
+        ri, ci = linear_sum_assignment(jcost[live])
+        optima.append((live, ri, ci, jcost[live][ri, ci].sum()))
+
     rows = []
     for n_iters in n_iters_list:
         subopts, iters_used, keep_agree, med_gaps = [], [], [], []
         unassigned_fracs = []
-        for jcost, row_mask in mats:
+        for (jcost, row_mask), (live, ri, ci, opt_cost) in zip(mats, optima):
             col_mask = np.ones(jcost.shape[1], dtype=bool)
             col, valid, it = auction_assignment(
                 jnp.asarray(jcost),
@@ -109,20 +116,17 @@ def evaluate(mats, n_iters_list=(32, 64, 128, 256), eps=None):
             )
             col, valid, it = np.asarray(col), np.asarray(valid), int(it)
 
-            live = np.nonzero(row_mask)[0]
-            ri, ci = linear_sum_assignment(jcost[live])
-            opt_cost = jcost[live][ri, ci].sum()
-            # an unassigned live row contributes its scipy-matched cost so
-            # partial assignments cannot look better than the optimum
-            per_row_opt = np.zeros(jcost.shape[0])
-            per_row_opt[live[ri]] = jcost[live][ri, ci]
-            auc_cost = np.where(
-                valid[live], jcost[live, col[live]], per_row_opt[live]
-            ).sum()
             n_unassigned = int((~valid[live]).sum())
             unassigned_fracs.append(n_unassigned / max(len(live), 1))
-            subopt = (auc_cost - opt_cost) / max(opt_cost, 1e-9)
-            subopts.append(subopt)
+            if n_unassigned == 0:
+                auc_cost = jcost[live, col[live]].sum()
+                subopts.append((auc_cost - opt_cost) / max(opt_cost, 1e-9))
+            else:
+                # a partial assignment's cost is not comparable to the
+                # complete optimum (the auction may hold a cheap column
+                # the optimum gives elsewhere); the unassigned column is
+                # the operative metric for incomplete runs
+                subopts.append(np.nan)
             iters_used.append(it)
 
             # downstream: keep = cost < median over valid
@@ -145,8 +149,8 @@ def evaluate(mats, n_iters_list=(32, 64, 128, 256), eps=None):
         rows.append(
             dict(
                 n_iters=n_iters,
-                subopt_mean=float(np.mean(subopts)),
-                subopt_max=float(np.max(subopts)),
+                subopt_mean=float(np.nanmean(subopts)) if not np.all(np.isnan(subopts)) else float('nan'),
+                subopt_max=float(np.nanmax(subopts)) if not np.all(np.isnan(subopts)) else float('nan'),
                 iters_mean=float(np.mean(iters_used)),
                 iters_max=int(np.max(iters_used)),
                 keep_agree=float(np.mean(keep_agree)),
@@ -212,10 +216,13 @@ def main(argv=None):
     # for a bidding auction — at the densities a real DTU/ScanNet view
     # could produce (HAWP caps out at a few hundred vertices per view).
     rng = np.random.RandomState(0)
-    for k in (128, 512):
+    for k_req in (128, 512):
         stress = []
         for jcost, row_mask in mats:
+            k = min(k_req, jcost.shape[0])
             live_idx = np.nonzero(row_mask)[0]
+            if len(live_idx) == 0:
+                continue
             reps = live_idx[rng.randint(0, len(live_idx), size=k)]
             cost_k = jcost[reps] + rng.uniform(0, 2.0, size=(k, 1)).astype(
                 jcost.dtype
@@ -227,7 +234,7 @@ def main(argv=None):
             stress.append((cost_s, mask_s))
         table += "\n\n" + fmt(
             evaluate(stress),
-            f"Contention stress ({k} jittered-duplicate live rows):",
+            f"Contention stress ({k_req} jittered-duplicate live rows):",
         )
     print(table)
     if args.out:

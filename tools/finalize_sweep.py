@@ -73,7 +73,11 @@ def main(argv=None):
         "| vote | merge eps | edge votes | sdf filter | #J | J P@1% | J R@1% | #L | L P@1% | L R@1% |",
         "|---|---|---|---|---|---|---|---|---|---|",
     ]
-    for r in sorted(rows, key=lambda r: -(r["jp"] + r["lp"]) * (r["jr"] >= 1.0) * (r["lr"] >= 1.0)):
+    # rank by recall first (graded, not gated on exactly 1.0 — no grid
+    # point may reach it on hard scenes), precision as the tie-breaker
+    for r in sorted(
+        rows, key=lambda r: (-(r["jr"] + r["lr"]), -(r["jp"] + r["lp"]))
+    ):
         lines.append(
             f"| {r['vote']} | {r['eps']} | {r['ev']} | {r['sf']} | {r['nj']} "
             f"| {r['jp']:.3f} | {r['jr']:.3f} | {r['nl']} | {r['lp']:.3f} | {r['lr']:.3f} |"

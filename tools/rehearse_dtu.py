@@ -31,13 +31,13 @@ import numpy as np
 def synthetic_gt(scan_dir: str, n_per_line: int = 64):
     """GT junctions / densely-resampled line points from lines.json
     (identity scale_mat in the synthetic DTU convention)."""
+    from neat_tpu.evaluation.eval_lsr import resample_lines
+
     with open(osp.join(scan_dir, "lines.json")) as f:
         gt = json.load(f)
     j = np.asarray(gt["junctions"], dtype=np.float64)
     lines = j[np.asarray(gt["lines"], dtype=np.int64)]
-    t = np.linspace(0, 1, n_per_line)[None, :, None]
-    pts = lines[:, :1] * (1 - t) + lines[:, 1:] * t
-    return j, lines, pts.reshape(-1, 3)
+    return j, lines, resample_lines(lines, n_per_line)
 
 
 def main(argv=None):
@@ -95,11 +95,7 @@ def main(argv=None):
     gt_j, gt_lines, gt_line_pts = synthetic_gt(scan_dir)
 
     # --- eval_lsr: junction + 32-pt line ACC/COMP (DTU wireframe protocol)
-    from neat_tpu.evaluation.eval_lsr import (
-        eval_wfr_junctions,
-        eval_lsr_lines,
-        resample_lines,
-    )
+    from neat_tpu.evaluation.eval_lsr import eval_wfr_junctions, eval_lsr_lines
     from neat_tpu.evaluation.eval_dtu import eval_dtu_points
 
     pred_lines = np.asarray(results["lines3d_wfi_checked"]).reshape(-1, 2, 3)
