@@ -293,3 +293,80 @@ class TestScanNetScene:
         det = np.asarray(wf["vertices"])
         d = np.abs(uv[:, None] - det[None]).sum(-1).min(1)
         assert d.max() < 1e-3
+
+
+class TestLoadSceneForConfig:
+    """The single runconf->scene dispatch used by runner, finalization,
+    render eval, and the distill/debug CLIs (it used to exist as five
+    divergent copies; scannet/scene_line misrouted to the blender loader)."""
+
+    def _cfg(self, tmp_path, dataset_class, extra=""):
+        import textwrap
+
+        from neat_tpu.train.config import build_experiment_config, parse_hocon
+
+        return build_experiment_config(parse_hocon(textwrap.dedent(f"""
+            train {{
+                expname = t
+                dataset_class = {dataset_class}
+                model_class = model.networks.neat_wfr_rend_a.VolSDFNetwork
+                loss_class = model.networks.loss_wfr.VolSDFLoss
+                num_pixels = 8
+            }}
+            loss {{
+            }}
+            dataset {{
+                data_dir = toy
+                img_res = [48, 48]
+                distance_threshold = 3.0
+                max_verts = 16
+            {extra}
+            }}
+            model {{
+            }}
+        """)))
+
+    def test_all_kinds_dispatch(self, tmp_path):
+        import json
+
+        from neat_tpu.data.synthetic import generate_scene
+        from neat_tpu.data.datasets import load_scene_for_config
+
+        generate_scene(str(tmp_path / "toy"), n_views=2, res=(48, 48))
+        generate_scene(str(tmp_path / "toy" / "scan1"), n_views=2,
+                       res=(48, 48), convention="dtu")
+        generate_scene(str(tmp_path / "toy" / "0"), n_views=2,
+                       res=(48, 48), convention="scannet")
+        with open(tmp_path / "toy" / "scan1" / "lines.json") as f:
+            gt = json.load(f)
+        j = np.asarray(gt["junctions"], np.float32)
+        np.savez(tmp_path / "lines3d.npz",
+                 lines3d=j[np.asarray(gt["lines"], np.int64)])
+
+        cases = [
+            ("datasets.blender_hawp_dataset.BlenderDataset", "", True),
+            ("datasets.scene_hawp_dataset.SceneDataset", "scan_id = 1", True),
+            ("datasets.scannet_hawp_dataset.SceneDataset", "scan_id = 0", True),
+            ("datasets.scene_line_dataset.SceneDataset",
+             f"scan_id = 1\n    lines_npz = {tmp_path}/lines3d.npz", True),
+            ("datasets.blender_dataset.BlenderDataset", "", False),
+            ("datasets.scene_dataset.SceneDataset", "scan_id = 1", False),
+        ]
+        for cls, extra, has_wf in cases:
+            cfg = self._cfg(tmp_path, cls, "    " + extra if extra else "")
+            scene = load_scene_for_config(cfg, str(tmp_path))
+            assert scene.n_images == 2, cls
+            assert (scene.lines is not None) == has_wf, cls
+
+    def test_distance_threshold_override(self, tmp_path):
+        from neat_tpu.data.synthetic import generate_scene
+        from neat_tpu.data.datasets import load_scene_for_config
+
+        generate_scene(str(tmp_path / "toy"), n_views=2, res=(48, 48))
+        cfg = self._cfg(tmp_path, "datasets.blender_hawp_dataset.BlenderDataset")
+        wide = load_scene_for_config(cfg, str(tmp_path))
+        narrow = load_scene_for_config(cfg, str(tmp_path),
+                                       distance_threshold=1.0)
+        # the finalization rebuild (threshold 1.0) selects fewer support
+        # pixels than the training threshold
+        assert narrow.mask.sum() <= wide.mask.sum()

@@ -49,6 +49,10 @@ def main(argv=None):
     parser.add_argument("--exps", default=None)
     parser.add_argument("--skip-train", default=False, action="store_true",
                         help="reuse the latest run under --exps")
+    parser.add_argument("--vote-ratio", type=float, default=0.0,
+                        dest="vote_ratio",
+                        help="view-count-relative junction vote gate "
+                        "(see finalize --vote-ratio)")
     args = parser.parse_args(argv)
 
     exps = args.exps or osp.join(args.scene_root, "exps")
@@ -83,6 +87,7 @@ def main(argv=None):
         conf=osp.join(rundir, "runconf.conf"),
         checkpoint="latest",
         data_root=args.scene_root,
+        vote_ratio=args.vote_ratio,
         verbose=False,
     )
     print(
