@@ -8,11 +8,15 @@ before jax is imported anywhere in the test process.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+import re
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# the parallel tests hard-require exactly 8 virtual devices: replace any
+# pre-existing count rather than silently inheriting a different one
+flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "", flags)
+os.environ["XLA_FLAGS"] = (
+    flags + " --xla_force_host_platform_device_count=8"
+).strip()
 
 import jax  # noqa: E402
 

@@ -2,6 +2,8 @@
 VolSDFNetwork state dict, import it, and verify the jax forward matches a
 manual torch forward of the same MLP."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -272,7 +274,8 @@ class TestTorchExport:
 
         rundir = tmp_path / "run"
         (rundir / "checkpoints").mkdir(parents=True)
-        shutil.copy("confs/abc-neat-a.conf", rundir / "runconf.conf")
+        root = Path(__file__).resolve().parents[1]
+        shutil.copy(root / "confs" / "abc-neat-a.conf", rundir / "runconf.conf")
         cfg = NeatConfig.for_abc()
         params = init_neat(jax.random.PRNGKey(0), cfg)
         state = init_train_state(params, 5e-4, 0.1, 100)

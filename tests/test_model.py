@@ -108,13 +108,24 @@ class TestForward:
         cfg_a = tiny_cfg(dbscan_enabled=True)
         cfg_c = tiny_cfg(dbscan_enabled=True, dbscan_include_global=True)
         params = init_neat(jax.random.PRNGKey(0), cfg_c)
+        # make every decoded global junction coincide so they pass the
+        # min_samples=2 DBSCAN gate (at random init they are isolated ->
+        # noise, and rend_c correctly matches the endpoints-only variant,
+        # exactly like the reference's sklearn DBSCAN would behave)
+        latents = params["junctions"]["latents"]
+        params["junctions"]["latents"] = jnp.broadcast_to(
+            latents[:1], latents.shape
+        )
         out_a = neat_forward(params, make_inputs(), cfg_a, jax.random.PRNGKey(1))
         out_c = neat_forward(params, make_inputs(), cfg_c, jax.random.PRNGKey(1))
         assert np.isfinite(np.asarray(out_c["j3d_local"])).all()
-        # rend_c clusters over 2R + num_junctions points (static shape)
-        n_extra = cfg_c.junctions.num_junctions
         # both produce per-vert assignments of the same padded size
         assert out_c["j3d_local"].shape == out_a["j3d_local"].shape
+        # the flag must actually change the proposal set: the coincident
+        # global junctions form a cluster that joins the proposals
+        assert not np.allclose(
+            np.asarray(out_c["j3d_local"]), np.asarray(out_a["j3d_local"])
+        )
 
 
 class TestLossAndGrad:

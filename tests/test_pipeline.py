@@ -87,10 +87,17 @@ class TestTrainOnSynthetic:
             verbose=False,
         )
         assert results["lines3d_all"].ndim == 3
+        # permissive thresholds keep every line; an impossible view count
+        # drops them all
         checked = visibility_checking(
             results["lines3d_wfi"], scene, mindis_th=1e9, min_visible_views=1
         )
-        assert checked.shape[0] <= max(results["lines3d_wfi"].shape[0], 0) or True
+        assert checked.shape[0] == results["lines3d_wfi"].shape[0]
+        none = visibility_checking(
+            results["lines3d_wfi"], scene, mindis_th=1e9,
+            min_visible_views=scene.n_images + 1,
+        )
+        assert none.shape[0] == 0
 
     def test_eval_abc_protocol(self, scene_dir, tmp_path):
         """Run the ABC P/R protocol on the GT wireframe itself -> perfect
@@ -135,3 +142,18 @@ class TestTrainOnSynthetic:
         out = render_view(params, cfg, scene, 0, chunksize=512)
         assert out["rgb"].shape == (64, 64, 3)
         assert np.isfinite(out["rgb"]).all()
+
+        import tempfile
+
+        from neat_tpu.viz.mesh import load_ply
+
+        with tempfile.TemporaryDirectory() as d:
+            ply = osp.join(d, "surf.ply")
+            export_scene_mesh(params, cfg, ply, resolution=40,
+                              grid_boundary=(-1.5, 1.5))
+            verts, faces = load_ply(ply)
+            # the geometric init is a sphere: the extracted surface must
+            # be non-empty and near unit radius
+            assert len(verts) > 100 and len(faces) > 100
+            r = np.linalg.norm(verts, axis=1)
+            assert 0.3 < r.mean() < 1.5

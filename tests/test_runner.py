@@ -12,7 +12,7 @@ pytestmark = pytest.mark.slow  # trains end-to-end; opt-in via -m slow
 from neat_tpu.data.synthetic import generate_scene
 
 TINY_CONF = """
-train {{
+train {
     expname = tiny
     dataset_class = datasets.blender_hawp_dataset.BlenderDataset
     model_class = model.networks.neat_wfr_rend_a.VolSDFNetwork
@@ -22,33 +22,33 @@ train {{
     checkpoint_freq = 1
     plot_freq = 100
     split_n_pixels = 256
-}}
-plot {{
+}
+plot {
     plot_nimgs = 1
     resolution = 32
     grid_boundary = [-1.5, 1.5]
-}}
-loss {{
+}
+loss {
     eikonal_weight = 0.1
     line_weight = 0.01
     rgb_loss = torch.nn.L1Loss
-}}
-dataset {{
+}
+dataset {
     data_dir = toy
     img_res = [48, 48]
-}}
-model {{
+}
+model {
     feature_vector_size = 16
     scene_bounding_sphere = 3.0
     dbscan_enabled = False
     use_median = True
-    global_junctions {{
+    global_junctions {
         num_junctions = 8
         num_layers = 2
         dim_out = 3
         dim_hidden = 16
-    }}
-    implicit_network {{
+    }
+    implicit_network {
         d_in = 3
         d_out = 1
         dims = [32, 32, 32, 32]
@@ -58,27 +58,27 @@ model {{
         weight_norm = True
         multires = 4
         sphere_scale = 20.0
-    }}
-    attraction_network {{
+    }
+    attraction_network {
         d_in = 9
         d_out = 6
         dims = [16, 16]
         mode = idr
         weight_norm = True
-    }}
-    rendering_network {{
+    }
+    rendering_network {
         mode = idr
         d_in = 9
         d_out = 3
         dims = [16, 16]
         weight_norm = True
         multires_view = 2
-    }}
-    density {{
-        params_init {{ beta = 0.1 }}
+    }
+    density {
+        params_init { beta = 0.1 }
         beta_min = 0.0001
-    }}
-    ray_sampler {{
+    }
+    ray_sampler {
         near = 0.0
         N_samples = 8
         N_samples_eval = 16
@@ -86,8 +86,8 @@ model {{
         eps = 0.1
         beta_iters = 4
         max_total_iters = 2
-    }}
-}}
+    }
+}
 """
 
 
@@ -97,7 +97,7 @@ def workspace(tmp_path_factory):
     os.makedirs(d / "toy")
     generate_scene(str(d / "toy"), n_views=4, res=(48, 48))
     conf = d / "tiny.conf"
-    conf.write_text(TINY_CONF.format())
+    conf.write_text(TINY_CONF)
     return d
 
 
@@ -168,7 +168,7 @@ class TestScanNetRunner:
 
         generate_scene(str(tmp_path / "scn" / "0"), n_views=3, res=(48, 48),
                        convention="scannet")
-        conf = TINY_CONF.format().replace(
+        conf = TINY_CONF.replace(
             "dataset_class = datasets.blender_hawp_dataset.BlenderDataset",
             "dataset_class = datasets.scannet_hawp_dataset.SceneDataset",
         ).replace(
