@@ -134,3 +134,17 @@ class TestImagesBinLayout:
         out = tmp_path / "rt.bin"
         _write_images_bin(images, out)
         assert out.read_bytes() == path.read_bytes()
+
+
+class TestVis:
+    def test_plot_reconstruction(self, tmp_path):
+        """Headless vis_3d equivalent renders points + frusta to png."""
+        from neat_tpu.colmap_tools.model_io import write_model
+        from neat_tpu.colmap_tools.vis import plot_reconstruction
+
+        cams, imgs, pts = make_model()
+        write_model(cams, imgs, pts, str(tmp_path), ext=".bin")
+        out = tmp_path / "recon.png"
+        stats = plot_reconstruction(str(tmp_path), str(out), min_track_len=1)
+        assert out.exists() and out.stat().st_size > 1000
+        assert stats["n_cameras"] == 2 and stats["n_points"] == 1
