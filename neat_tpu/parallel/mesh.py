@@ -50,10 +50,21 @@ def shard_scene(scene: Dict, mesh: Mesh) -> Dict:
     ray-sharded batches directly.
     """
     per_pixel = ("rgb", "labels", "uv_proj", "mask", "depth", "support_idx")
+    n = mesh.devices.size
     out = {}
     for k, v in scene.items():
         arr = np.asarray(v)
         if arr.ndim >= 2 and k in per_pixel:
+            # the sharded axis must divide over the mesh; support_idx is
+            # packed to the max support count (arbitrary), so pad. Batch
+            # sampling gathers with indices < the true size, so the pad
+            # columns are never read.
+            pad = (-arr.shape[1]) % n
+            if pad:
+                arr = np.concatenate(
+                    [arr, np.zeros((arr.shape[0], pad) + arr.shape[2:], arr.dtype)],
+                    axis=1,
+                )
             spec = P(None, "data")
         else:
             spec = P()

@@ -214,3 +214,21 @@ class TestInterruptSave:
             osp.join(r.rundir, "checkpoints"), "latest"
         )
         assert epoch == 3
+
+
+class TestMeshRunner:
+    def test_train_on_virtual_mesh(self, workspace, tmp_path):
+        """The runner's use_mesh path trains on the 8-device virtual CPU
+        mesh (scene sharded, params replicated) end-to-end."""
+        from neat_tpu.train.runner import TrainRunner
+
+        r = TrainRunner(
+            conf=str(workspace / "tiny.conf"),
+            data_root=str(workspace),
+            exps_folder=str(tmp_path / "exps"),
+            nepochs=2,
+            use_mesh=True,
+        )
+        assert r.mesh is not None and r.mesh.devices.size == 8
+        r.run()
+        assert osp.exists(osp.join(r.rundir, "checkpoints", "latest.ckpt"))
