@@ -15,7 +15,7 @@ python -m neat_tpu.train.runner \
 RUNDIR=$(ls -dt "$EXPS"/abc_000075213_neat_a/*/ | head -1)
 python -m neat_tpu.wireframe.finalize \
     --conf "$RUNDIR/runconf.conf" --checkpoint latest --data_root "$DATA_ROOT" \
-    --vote-ratio 0.1
+    --vote-ratio 0.2
 
 PKL=$(ls -t "$RUNDIR"/wireframes/*-neat.pkl | head -1)
 python -m neat_tpu.evaluation.eval_abc \
