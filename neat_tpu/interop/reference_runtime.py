@@ -1,0 +1,279 @@
+"""Run the reference PyTorch implementation on CPU for numerical parity.
+
+The reference (code/model/networks/neat_wfr_rend_a.py, model/ray_sampler.py,
+model/networks/loss_wfr.py) imports cleanly on CPU torch once a handful of
+GPU-era assumptions are stubbed:
+
+  * ``pyhocon.ConfigTree`` — replaced by a dict subclass with the get_*
+    accessors the model constructor uses (rend_a:260-315);
+  * ``open3d`` / ``trimesh`` / ``skimage`` — imported at module scope but
+    unused on the paths under test — empty module stubs;
+  * ``Tensor.cuda()`` / ``Module.cuda()`` — pervasive (rend_a:263,442,...)
+    — patched to identity so everything stays on CPU.
+
+This module is test/bench infrastructure: it lets the repo's parity claims
+(tests/test_reference_parity.py) and the measured implementation-cost ratio
+(tools/measure_reference_ratio.py) execute the reference's own code rather
+than a re-derivation of it.
+
+Nothing here copies reference code — it only imports and drives it.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import sys
+import types
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+REFERENCE_CODE = "/root/reference/code"
+
+
+class ConfigTree(dict):
+    """Minimal pyhocon.ConfigTree lookalike: the reference model constructor
+    only uses get_int/get_float/get_bool/get_list/get_string/get_config and
+    ``**conf.get_config(...)`` unpacking (rend_a:260-315)."""
+
+    def _get(self, key, default, marker):
+        if key in self:
+            return self[key]
+        if default is marker:
+            raise KeyError(key)
+        return default
+
+    _MARKER = object()
+
+    def get_int(self, key, default=_MARKER):
+        v = self._get(key, default, self._MARKER)
+        return v if v is None else int(v)
+
+    def get_float(self, key, default=_MARKER):
+        v = self._get(key, default, self._MARKER)
+        return v if v is None else float(v)
+
+    def get_bool(self, key, default=_MARKER):
+        v = self._get(key, default, self._MARKER)
+        return v if v is None else bool(v)
+
+    def get_string(self, key, default=_MARKER):
+        v = self._get(key, default, self._MARKER)
+        return v if v is None else str(v)
+
+    def get_list(self, key, default=_MARKER):
+        v = self._get(key, default, self._MARKER)
+        return v if v is None else list(v)
+
+    def get_config(self, key, default=_MARKER):
+        v = self._get(key, default, self._MARKER)
+        return as_config_tree(v) if isinstance(v, dict) else v
+
+    def get(self, key, default=None):  # pyhocon.get is KeyError-free here
+        return self._get(key, default, self._MARKER)
+
+
+def as_config_tree(d: Dict[str, Any]) -> ConfigTree:
+    out = ConfigTree()
+    for k, v in d.items():
+        out[k] = as_config_tree(v) if isinstance(v, dict) else v
+    return out
+
+
+_installed = False
+
+
+def install_reference_stubs() -> None:
+    """Make ``/root/reference/code`` importable on CPU torch. Idempotent.
+
+    Patches torch.Tensor.cuda / torch.nn.Module.cuda process-wide to
+    identity — acceptable in this CPU-only image where .cuda() would raise
+    anyway.
+    """
+    global _installed
+    if _installed:
+        return
+    if "pyhocon" not in sys.modules:
+        mod = types.ModuleType("pyhocon")
+        mod.ConfigTree = ConfigTree
+        sys.modules["pyhocon"] = mod
+    for name in ("open3d", "trimesh", "skimage"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+
+    import torch
+
+    torch.Tensor.cuda = lambda self, *a, **k: self  # type: ignore[assignment]
+    torch.nn.Module.cuda = lambda self, *a, **k: self  # type: ignore[assignment]
+
+    if REFERENCE_CODE not in sys.path:
+        sys.path.insert(0, REFERENCE_CODE)
+    _installed = True
+
+
+def load_model_conf(conf_path: str) -> ConfigTree:
+    """Parse a reference HOCON conf with the repo's native parser and return
+    the model{} block wrapped for the reference constructor."""
+    from ..train.config import parse_hocon
+
+    with open(conf_path) as f:
+        tree = parse_hocon(f.read())
+    return as_config_tree(tree["model"])
+
+
+def build_reference_model(conf_path: str):
+    """Instantiate the reference VolSDFNetwork (neat_wfr_rend_a) from a conf
+    file. Requires install_reference_stubs()."""
+    install_reference_stubs()
+    from model.networks.neat_wfr_rend_a import VolSDFNetwork  # type: ignore
+
+    return VolSDFNetwork(load_model_conf(conf_path))
+
+
+def build_reference_loss(**kwargs):
+    """Instantiate the reference VolSDFLoss (loss_wfr.py:16-24)."""
+    install_reference_stubs()
+    from model.networks.loss_wfr import VolSDFLoss  # type: ignore
+
+    kwargs.setdefault("rgb_loss", "torch.nn.L1Loss")
+    kwargs.setdefault("eikonal_weight", 0.1)
+    kwargs.setdefault("line_weight", 0.01)
+    return VolSDFLoss(**kwargs)
+
+
+class WireframeStub:
+    """The two attributes the reference forward touches on input['wireframe']
+    (rend_a:428,471): .line_segments() and .vertices."""
+
+    def __init__(self, vertices, segments=None):
+        import torch
+
+        self.vertices = torch.as_tensor(np.asarray(vertices))
+        self._segments = (
+            torch.as_tensor(np.asarray(segments))
+            if segments is not None
+            else torch.zeros((0, 5))
+        )
+
+    def line_segments(self, threshold: float = 0.0):
+        return self._segments
+
+
+# ---------------------------------------------------------------------------
+# deterministic shared randomness
+# ---------------------------------------------------------------------------
+#
+# The reference's train-mode forward draws randomness through five sites
+# (torch.rand in the sampler init/final draw, torch.randperm for the extra
+# samples, torch.randint for the eikonal z index, Tensor.uniform_ for the
+# eikonal box points); the repo's forward draws the same five through
+# jax.random. For train-mode parity both sides are patched to consume the
+# SAME shape-keyed numpy streams, making both forwards deterministic and
+# identically distributed draw-for-draw.
+
+
+class DeterministicDraws:
+    def __init__(self, seed: int = 1234):
+        self.seed = seed
+
+    def _rs(self, *key) -> np.random.RandomState:
+        import zlib
+
+        h = zlib.crc32(repr((self.seed,) + key).encode()) % (2**31 - 1)
+        return np.random.RandomState(h)
+
+    def uniform(self, shape) -> np.ndarray:
+        shape = tuple(int(s) for s in shape)
+        return self._rs("uniform", shape).random_sample(shape)
+
+    def permutation(self, n: int) -> np.ndarray:
+        return self._rs("perm", int(n)).permutation(int(n))
+
+    def randint(self, high: int, size: int) -> np.ndarray:
+        return self._rs("randint", int(high), int(size)).randint(
+            0, int(high), size=int(size)
+        )
+
+
+@contextlib.contextmanager
+def patch_torch_rng(draws: DeterministicDraws):
+    """Route the reference forward's five random sites through `draws`."""
+    import torch
+
+    orig_rand = torch.rand
+    orig_randperm = torch.randperm
+    orig_randint = torch.randint
+    orig_uniform_ = torch.Tensor.uniform_
+
+    def fake_rand(*shape, **kw):
+        if len(shape) == 1 and isinstance(shape[0], (list, tuple)):
+            shape = tuple(shape[0])
+        return torch.as_tensor(draws.uniform(shape)).to(
+            kw.get("dtype") or torch.get_default_dtype()
+        )
+
+    def fake_randperm(n, **kw):
+        return torch.as_tensor(draws.permutation(n)).long()
+
+    def fake_randint(high, size, **kw):
+        n = int(np.prod(size)) if len(size) else 1
+        return torch.as_tensor(draws.randint(high, n)).long().reshape(size)
+
+    def fake_uniform_(self, a=0.0, b=1.0):
+        arr = draws.uniform(tuple(self.shape))
+        self.copy_(torch.as_tensor(a + (b - a) * arr).to(self.dtype))
+        return self
+
+    torch.rand = fake_rand
+    torch.randperm = fake_randperm
+    torch.randint = fake_randint
+    torch.Tensor.uniform_ = fake_uniform_
+    try:
+        yield
+    finally:
+        torch.rand = orig_rand
+        torch.randperm = orig_randperm
+        torch.randint = orig_randint
+        torch.Tensor.uniform_ = orig_uniform_
+
+
+@contextlib.contextmanager
+def patch_jax_rng(draws: DeterministicDraws):
+    """Route the repo forward's five random sites through `draws`.
+
+    Patches jax.random.{uniform, permutation, randint}; neat_forward and the
+    samplers resolve these at call time, so eager (un-jitted) calls observe
+    the patch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    orig_uniform = jax.random.uniform
+    orig_permutation = jax.random.permutation
+    orig_randint = jax.random.randint
+
+    def fake_uniform(key, shape=(), dtype=float, minval=0.0, maxval=1.0):
+        arr = draws.uniform(shape)
+        return jnp.asarray(minval + (maxval - minval) * arr, dtype=dtype)
+
+    def fake_permutation(key, x, axis=0, independent=False):
+        if isinstance(x, int):
+            return jnp.asarray(draws.permutation(x))
+        raise NotImplementedError
+
+    def fake_randint(key, shape, minval, maxval, dtype=jnp.int32):
+        assert int(minval) == 0
+        n = int(np.prod(shape)) if len(shape) else 1
+        return jnp.asarray(
+            draws.randint(int(maxval), n).reshape(shape), dtype=dtype
+        )
+
+    jax.random.uniform = fake_uniform
+    jax.random.permutation = fake_permutation
+    jax.random.randint = fake_randint
+    try:
+        yield
+    finally:
+        jax.random.uniform = orig_uniform
+        jax.random.permutation = orig_permutation
+        jax.random.randint = orig_randint

@@ -22,42 +22,48 @@ from ..model.neat import NeatConfig
 Params = Dict[str, Any]
 
 
-def _t(a):
+def _t(a, dtype=np.float32):
     import torch
 
-    return torch.from_numpy(np.asarray(a, dtype=np.float32))
+    return torch.from_numpy(np.asarray(a, dtype=dtype))
 
 
-def _export_linear(out: Dict[str, Any], prefix: str, lin: Dict[str, Any]):
+def _export_linear(out: Dict[str, Any], prefix: str, lin: Dict[str, Any], dtype):
     if "v" in lin:
         # torch weight_norm stores g as (out, 1)
-        out[f"{prefix}.weight_g"] = _t(lin["g"]).reshape(-1, 1)
-        out[f"{prefix}.weight_v"] = _t(lin["v"])
-        out[f"{prefix}.bias"] = _t(lin["b"])
+        out[f"{prefix}.weight_g"] = _t(lin["g"], dtype).reshape(-1, 1)
+        out[f"{prefix}.weight_v"] = _t(lin["v"], dtype)
+        out[f"{prefix}.bias"] = _t(lin["b"], dtype)
     else:
-        out[f"{prefix}.weight"] = _t(lin["w"])
-        out[f"{prefix}.bias"] = _t(lin["b"])
+        out[f"{prefix}.weight"] = _t(lin["w"], dtype)
+        out[f"{prefix}.bias"] = _t(lin["b"], dtype)
 
 
-def _export_mlp(out: Dict[str, Any], prefix: str, mlp: Params):
+def _export_mlp(out: Dict[str, Any], prefix: str, mlp: Params, dtype):
     for name, lin in mlp.items():
         assert name.startswith("lin"), name
-        _export_linear(out, f"{prefix}.{name}", lin)
+        _export_linear(out, f"{prefix}.{name}", lin, dtype)
 
 
-def params_to_reference_state(params: Params, cfg: NeatConfig) -> Dict[str, Any]:
-    """Map the neat_tpu param pytree onto a reference model_state_dict."""
+def params_to_reference_state(
+    params: Params, cfg: NeatConfig, dtype=np.float32
+) -> Dict[str, Any]:
+    """Map the neat_tpu param pytree onto a reference model_state_dict.
+
+    ``dtype`` is float32 for checkpoint export; the f64 parity tests pass
+    float64 to compare values without a narrowing cast.
+    """
     state: Dict[str, Any] = {}
-    _export_mlp(state, "implicit_network", params["implicit"])
-    _export_mlp(state, "rendering_network", params["rendering"])
+    _export_mlp(state, "implicit_network", params["implicit"], dtype)
+    _export_mlp(state, "rendering_network", params["rendering"], dtype)
     if "attraction" in params:
-        _export_mlp(state, "attraction_network", params["attraction"])
-    state["density.beta"] = _t(params["density"].beta).reshape(1)
+        _export_mlp(state, "attraction_network", params["attraction"], dtype)
+    state["density.beta"] = _t(params["density"].beta, dtype).reshape(1)
     if "junctions" in params:
-        state["latents"] = _t(params["junctions"]["latents"])
+        state["latents"] = _t(params["junctions"]["latents"], dtype)
         for i in range(cfg.junctions.num_layers + 1):
             _export_linear(
-                state, f"ffn.{2 * i}", params["junctions"]["ffn"][f"lin{i}"]
+                state, f"ffn.{2 * i}", params["junctions"]["ffn"][f"lin{i}"], dtype
             )
     return state
 
