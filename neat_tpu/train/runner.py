@@ -91,6 +91,12 @@ class TrainRunner:
     ):
         self.do_vis = do_vis
         self.gitexp = gitexp
+        # multi-host: every process traces/executes the same global
+        # computation, but only process 0 owns the experiment directory
+        # (logs, runconf, checkpoints, plots) — the standard SPMD contract
+        # (reference is single-process; volsdf_train.py:99-127 writes
+        # unconditionally)
+        self.is_main = jax.process_index() == 0
         self.cfg = load_experiment_config(
             conf,
             scan_id=scan_id,
@@ -114,11 +120,14 @@ class TrainRunner:
 
         # ----- experiment directories (reference volsdf_train.py:99-127)
         self.expdir = osp.join(exps_folder, self.expname)
-        os.makedirs(self.expdir, exist_ok=True)
+        if self.is_main:
+            os.makedirs(self.expdir, exist_ok=True)
         old_timestamp = None
         if is_continue and timestamp == "latest":
             stamps = sorted(
-                d for d in os.listdir(self.expdir)
+                d for d in (
+                    os.listdir(self.expdir) if osp.isdir(self.expdir) else ()
+                )
                 if osp.isdir(osp.join(self.expdir, d))
             )
             old_timestamp = stamps[-1] if stamps else None
@@ -131,12 +140,13 @@ class TrainRunner:
         self.ckpt_dir = osp.join(self.rundir, "checkpoints")
         self.junctions_dir = osp.join(self.rundir, "junctions")
         self.plots_dir = osp.join(self.rundir, "plots")
-        for d in (self.rundir, self.ckpt_dir, self.junctions_dir, self.plots_dir):
-            os.makedirs(d, exist_ok=True)
+        if self.is_main:
+            for d in (self.rundir, self.ckpt_dir, self.junctions_dir, self.plots_dir):
+                os.makedirs(d, exist_ok=True)
 
-        if self.cfg.raw is not None:
-            with open(osp.join(self.rundir, "runconf.conf"), "w") as f:
-                f.write(dump_hocon(self.cfg.raw))
+            if self.cfg.raw is not None:
+                with open(osp.join(self.rundir, "runconf.conf"), "w") as f:
+                    f.write(dump_hocon(self.cfg.raw))
 
         self.logger = self._make_logger()
 
@@ -219,6 +229,13 @@ class TrainRunner:
                 f"data-parallel mesh over {len(mesh.devices.flat)} devices"
             )
         self.mesh = mesh
+        if mesh is not None:
+            # replicate model/opt state over the mesh explicitly: under
+            # multi-process (DCN) every jit input must be a global array,
+            # and single-process this is a no-op placement
+            from ..parallel.mesh import replicated_sharding
+
+            self.state = jax.device_put(self.state, replicated_sharding(mesh))
         self.scene_dev = scene_to_device(self.scene, sharding=mesh)
         self.step_fn = make_train_step(
             self.cfg.model,
@@ -245,20 +262,33 @@ class TrainRunner:
         ch = logging.StreamHandler(stream=sys.stdout)
         ch.setFormatter(fmt)
         logger.addHandler(ch)
-        fh = logging.FileHandler(osp.join(self.rundir, "train.log"))
-        fh.setFormatter(fmt)
-        logger.addHandler(fh)
+        if self.is_main:
+            fh = logging.FileHandler(osp.join(self.rundir, "train.log"))
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
+        else:
+            # non-main processes keep stdout (prefixed by launcher) but
+            # stay quiet below WARNING to avoid N copies of every line
+            logger.setLevel(logging.WARNING)
         return logger
 
     # ------------------------------------------------------------------
     def save(self, epoch: int) -> None:
+        if not self.is_main:
+            return
         save_checkpoint(self.ckpt_dir, self.state, epoch)
 
+    def _host_params(self):
+        """Fetch the (replicated) params to host numpy: process-0-only side
+        computations (junction dumps, preview renders) must not launch jit
+        work on global arrays spanning other processes' devices."""
+        return jax.tree_util.tree_map(np.asarray, self.state.params)
+
     def dump_junctions(self, epoch: int) -> None:
-        if "junctions" not in self.state.params:
+        if "junctions" not in self.state.params or not self.is_main:
             return
         pts = global_junctions_forward(
-            self.state.params["junctions"], self.cfg.model.junctions
+            self._host_params()["junctions"], self.cfg.model.junctions
         )
         np.save(
             osp.join(self.junctions_dir, f"{epoch}.npy"), np.asarray(pts)
@@ -271,8 +301,9 @@ class TrainRunner:
         from ..viz.plots import plot_image_grid, plot_wireframe3d
 
         view = epoch % self.n_views
+        host_params = self._host_params()
         out = render_view(
-            self.state.params, self.cfg.model, self.scene, view,
+            host_params, self.cfg.model, self.scene, view,
             chunksize=self.cfg.split_n_pixels,
         )
         gt = self.scene.rgb[view].reshape(*self.scene.img_res, 3)
@@ -283,7 +314,7 @@ class TrainRunner:
         if "junctions" in self.state.params:
             pts = np.asarray(
                 global_junctions_forward(
-                    self.state.params["junctions"], self.cfg.model.junctions
+                    host_params["junctions"], self.cfg.model.junctions
                 )
             )
             plot_wireframe3d(
@@ -342,9 +373,10 @@ class TrainRunner:
         rng = jax.random.PRNGKey(self.seed)
 
         # camera-rig figure once at start (reference volsdf_train.py:278-296)
-        from ..viz.plots import plot_cameras
+        if self.is_main:
+            from ..viz.plots import plot_cameras
 
-        plot_cameras(osp.join(self.plots_dir, "cameras.png"), self.scene.pose)
+            plot_cameras(osp.join(self.plots_dir, "cameras.png"), self.scene.pose)
 
         epoch = self.start_epoch
         for epoch in range(self.start_epoch, cfg.nepochs + 1):
@@ -353,7 +385,7 @@ class TrainRunner:
                 self.save(epoch)
             # per-epoch junction snapshot (reference volsdf_train.py:336-343)
             self.dump_junctions(epoch)
-            if self.do_vis and epoch % cfg.plot_freq == 0 and epoch > 0:
+            if self.do_vis and self.is_main and epoch % cfg.plot_freq == 0 and epoch > 0:
                 self.plot_epoch(epoch)
 
             t0 = time.time()
@@ -361,6 +393,14 @@ class TrainRunner:
             # device until the end of the epoch, so the chip never stalls
             rng, sub = jax.random.split(rng)
             epoch_rngs = jax.random.split(sub, self.n_views)
+            if self.mesh is not None:
+                # under multi-process every jit input must be a global
+                # array; single-process this is a free replication
+                from ..parallel.mesh import replicated_sharding
+
+                epoch_rngs = jax.device_put(
+                    epoch_rngs, replicated_sharding(self.mesh)
+                )
             auxes = []
             for i in range(self.n_views):
                 self.state, aux = self.step_fn(self.state, self.scene_dev, epoch_rngs[i])
@@ -416,6 +456,20 @@ def main(argv=None):
     parser.add_argument("--distributed", default=False, action="store_true",
                         help="multi-host: jax.distributed.initialize() before "
                         "building the mesh (DCN via JAX; pair with --mesh)")
+    parser.add_argument("--platform", default=None, type=str,
+                        choices=["cpu", "tpu", "axon"],
+                        help="pin the jax platform before backend init "
+                        "(this image's sitecustomize defaults to the "
+                        "tunneled TPU; 'cpu' makes a run hermetic)")
+    parser.add_argument("--coordinator", default=None, type=str,
+                        help="host:port of process 0 for --distributed; "
+                        "omit on TPU pods where JAX auto-detects the cluster")
+    parser.add_argument("--num_processes", default=None, type=int,
+                        help="total process count for --distributed "
+                        "(with --coordinator)")
+    parser.add_argument("--process_id", default=None, type=int,
+                        help="this process's rank for --distributed "
+                        "(with --coordinator)")
     parser.add_argument("--field_dtype", default=None,
                         choices=["float32", "bfloat16"],
                         help="override model.field_compute_dtype (precision "
@@ -425,13 +479,26 @@ def main(argv=None):
                         "reference's pdb NaN backward hooks)")
     args = parser.parse_args(argv)
 
+    if args.platform is not None:
+        jax.config.update("jax_platforms", args.platform)
+
     if args.debug_nans:
         from ..utils.profiling import enable_nan_debugging
 
         enable_nan_debugging()
 
     if args.distributed:
-        jax.distributed.initialize()
+        if args.coordinator is not None:
+            # explicit cluster spec: CPU/GPU clusters and the hermetic
+            # 2-process CPU test drive this path
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
+        else:
+            # TPU pod: cluster auto-detection
+            jax.distributed.initialize()
 
     runner = TrainRunner(
         conf=args.conf,

@@ -84,9 +84,13 @@ def _run_steps(cfg, scene_np, mesh=None, n_steps=2):
         cfg, LossConfig(), 5e-4, 0.1, 100, N_RAYS, IMG_W,
         data_sharding=data_shard, donate=False,
     )
+    key = jax.random.PRNGKey(7)
+    if mesh is not None:
+        # under jax.distributed every jit input must be a global array
+        key = jax.device_put(key, replicated_sharding(mesh))
     aux = None
     for i in range(n_steps):
-        state, aux = step(state, scene, jax.random.PRNGKey(7))
+        state, aux = step(state, scene, key)
     jax.block_until_ready(state.params)
     return state, aux
 
@@ -203,6 +207,130 @@ class TestShardedChunkInference:
         assert round_chunk_to_mesh(64, mesh) == 64
         assert round_chunk_to_mesh(60, mesh) == 64
         assert round_chunk_to_mesh(60, None) == 60
+
+
+def _free_port() -> int:
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _spawn_worker(args, extra_env=None):
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.update(extra_env or {})
+    return subprocess.Popen(
+        [sys.executable] + args,
+        env=env,
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+
+
+@pytest.mark.slow
+class TestMultiHost:
+    """The DCN path, executed: two OS processes, 4 virtual CPU devices
+    each, joined by jax.distributed into the same 8-device global mesh the
+    single-process tests use. The reference has no multi-node story at
+    all (single-GPU torch); this is the framework's own SURVEY §2.3
+    commitment (parallel/mesh.py:7, runner.py --distributed)."""
+
+    def test_two_process_sharded_step_matches_single_process(self, tmp_path):
+        import json
+        import os
+
+        port = _free_port()
+        outs = [str(tmp_path / f"proc{i}.json") for i in range(2)]
+        procs = [
+            _spawn_worker(
+                ["tests/_multihost_worker.py", str(i), str(port), outs[i]]
+            )
+            for i in range(2)
+        ]
+        logs = [p.communicate(timeout=600)[0] for p in procs]
+        for p, log in zip(procs, logs):
+            assert p.returncode == 0, log[-4000:]
+        res = [json.load(open(o)) for o in outs]
+
+        # both processes saw the global topology and agree exactly
+        for r in res:
+            assert r["n_devices"] == N_DEV
+            assert r["process_count"] == 2
+        assert res[0]["loss"] == res[1]["loss"]
+        assert res[0]["param_norms"] == res[1]["param_norms"]
+
+        # and the result matches the same computation in ONE process on the
+        # conftest's 8-device mesh (same seeds, same tiny cfg/scene)
+        state_1, aux_1 = _run_steps(
+            _tiny_cfg(), _tiny_scene(), mesh=make_mesh(N_DEV), n_steps=2
+        )
+        np.testing.assert_allclose(
+            res[0]["loss"], float(aux_1["loss"]), rtol=1e-5, atol=1e-6
+        )
+        flat, _ = jax.tree_util.tree_flatten_with_path(state_1.params)
+        norms_1 = {
+            jax.tree_util.keystr(path): float(
+                np.linalg.norm(np.asarray(leaf, dtype=np.float64))
+            )
+            for path, leaf in flat
+        }
+        assert norms_1.keys() == res[0]["param_norms"].keys()
+        for k, v in norms_1.items():
+            np.testing.assert_allclose(
+                res[0]["param_norms"][k], v, rtol=2e-4, atol=1e-6, err_msg=k
+            )
+
+    def test_distributed_runner_smoke(self, tmp_path):
+        """Two --distributed runner processes train the toy scene over the
+        joint mesh; only process 0 writes the experiment directory."""
+        import glob
+        import os
+
+        from neat_tpu.data.synthetic import generate_scene
+
+        os.makedirs(tmp_path / "toy")
+        generate_scene(str(tmp_path / "toy"), n_views=4, res=(48, 48))
+        from test_runner import TINY_CONF
+
+        conf = tmp_path / "tiny.conf"
+        conf.write_text(TINY_CONF)
+        port = _free_port()
+        exps = [str(tmp_path / f"exps{i}") for i in range(2)]
+        procs = [
+            _spawn_worker(
+                [
+                    "-m", "neat_tpu.train.runner",
+                    "--conf", str(conf),
+                    "--data_root", str(tmp_path),
+                    "--exps_folder", exps[i],
+                    "--nepoch", "2",
+                    "--platform", "cpu",
+                    "--mesh",
+                    "--distributed",
+                    "--coordinator", f"localhost:{port}",
+                    "--num_processes", "2",
+                    "--process_id", str(i),
+                ]
+            )
+            for i in range(2)
+        ]
+        logs = [p.communicate(timeout=600)[0] for p in procs]
+        for p, log in zip(procs, logs):
+            assert p.returncode == 0, log[-4000:]
+        assert "data-parallel mesh over 8 devices" in logs[0]
+        # process 0 wrote the run artifacts; process 1 wrote nothing
+        ckpts = glob.glob(os.path.join(exps[0], "tiny", "*", "checkpoints", "latest.ckpt"))
+        assert len(ckpts) == 1, logs[0][-4000:]
+        assert not os.path.exists(exps[1])
 
 
 def test_dual_batch_uniform_pass_uses_same_view():
