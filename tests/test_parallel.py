@@ -145,6 +145,75 @@ def test_dual_batch_sharded_step_runs_and_matches():
     np.testing.assert_allclose(
         float(aux_1["loss"]), float(aux_8["loss"]), rtol=1e-5, atol=1e-6
     )
+    # params after the step: a sharding bug in the dual branch's gradient
+    # path (e.g. a mis-psum'd uniform-pass grad) would show up here even
+    # when the scalar loss (computed pre-update) agrees
+    flat_1 = jax.tree_util.tree_leaves(state_1.params)
+    flat_8 = jax.tree_util.tree_leaves(state_8.params)
+    for a, b in zip(flat_1, flat_8):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
+        )
+
+
+@pytest.mark.slow
+def test_flagship_config_sharded_step():
+    """One sharded step of the PRODUCTION configuration (NeatConfig.for_abc:
+    256-wide implicit net, 1024 junctions, full 5-iteration error-bounded
+    sampler, 1024 rays) on the 8-device mesh — the gap between 'tiny-shape
+    dryrun compiles' and 'the real model shards'. Scene tables are small
+    (2 views, 64x64) — the model/batch config is what's under test."""
+    import dataclasses
+
+    from neat_tpu.model.neat import NeatConfig
+
+    cfg = dataclasses.replace(
+        NeatConfig.for_abc(), sampler_compute_dtype="float32"
+    )
+    n_rays = 1024
+    img_w = 64
+    hw = img_w * img_w
+    n_views = 2
+    rng = np.random.RandomState(0)
+    k = np.eye(4, dtype=np.float32)
+    k[0, 0] = k[1, 1] = 70.0
+    k[0, 2] = k[1, 2] = img_w / 2.0
+    poses = np.tile(np.eye(4, dtype=np.float32), (n_views, 1, 1))
+    poses[:, 2, 3] = -2.0
+    l_max = 16
+    scene = {
+        "rgb": rng.rand(n_views, hw, 3).astype(np.float32),
+        "intrinsics": np.tile(k, (n_views, 1, 1)),
+        "pose": poses,
+        "mask": np.ones((n_views, hw), dtype=bool),
+        "labels": rng.randint(0, l_max, (n_views, hw)).astype(np.int32),
+        "uv_proj": rng.rand(n_views, hw, 2).astype(np.float32) * img_w,
+        "lines": rng.rand(n_views, l_max, 5).astype(np.float32) * img_w,
+        "verts2d": rng.rand(n_views, cfg.max_verts, 2).astype(np.float32) * img_w,
+        "verts_mask": np.concatenate(
+            [np.ones((n_views, 48), bool),
+             np.zeros((n_views, cfg.max_verts - 48), bool)], axis=1,
+        ),
+        "support_idx": np.tile(np.arange(hw, dtype=np.int32), (n_views, 1)),
+        "support_count": np.full((n_views,), hw, dtype=np.int32),
+    }
+    mesh = make_mesh(N_DEV)
+    params = init_neat(jax.random.PRNGKey(0), cfg)
+    state = init_train_state(params, 5e-4, 0.1, 100)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    scene_dev = shard_scene(scene, mesh)
+    step = make_train_step(
+        cfg, LossConfig(), 5e-4, 0.1, 100, n_rays, img_w,
+        data_sharding=ray_sharding(mesh), donate=False,
+    )
+    key = jax.device_put(jax.random.PRNGKey(7), replicated_sharding(mesh))
+    state, aux = step(state, scene_dev, key)
+    jax.block_until_ready(state.params)
+    assert np.isfinite(float(aux["loss"])), dict(aux)
+    # params updated and still replicated over the full mesh
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert leaf.sharding.is_fully_replicated
+        assert len(leaf.sharding.device_set) == N_DEV
 
 
 class TestShardedChunkInference:
