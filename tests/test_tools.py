@@ -1,0 +1,103 @@
+"""Smoke tests for the sweep/rehearsal drivers (tools/).
+
+These scripts gated the round-2/3 results (vote-gate calibration, DTU
+protocol rehearsal) but previously ran untested — a regression in them
+would silently invalidate future sweeps. Both run end-to-end on the tiny
+synthetic scene in the slow tier.
+"""
+
+import json
+import os
+import os.path as osp
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
+
+from neat_tpu.data.synthetic import generate_scene  # noqa: E402
+from test_runner import TINY_CONF  # noqa: E402
+
+
+def test_finalize_sweep_smoke(tmp_path, capsys):
+    """Train 1 epoch on the toy ABC-convention scene, then sweep a 2-point
+    assembly grid; every grid point must distill once, assemble, score
+    with eval_abc, and land in the ranked markdown table."""
+    from neat_tpu.train.runner import TrainRunner
+    from tools.finalize_sweep import main as sweep_main
+
+    os.makedirs(tmp_path / "toy")
+    generate_scene(str(tmp_path / "toy"), n_views=3, res=(48, 48))
+    conf = tmp_path / "tiny.conf"
+    conf.write_text(TINY_CONF)
+    r = TrainRunner(
+        conf=str(conf), data_root=str(tmp_path),
+        exps_folder=str(tmp_path / "exps"), nepochs=1, max_verts=16,
+    )
+    r.run()
+
+    out = tmp_path / "sweep.md"
+    sweep_main([
+        "--conf", osp.join(r.rundir, "runconf.conf"),
+        "--scan", str(tmp_path / "toy"),
+        "--data_root", str(tmp_path),
+        "--vote", "1", "2",
+        "--merge-eps", "0.0",
+        "--edge-votes", "1",
+        "--out", str(out),
+    ])
+    table = out.read_text().strip().splitlines()
+    # header + separator + one row per grid point
+    assert len(table) == 2 + 2, table
+    assert table[0].startswith("| vote |")
+    for row in table[2:]:
+        cells = [c.strip() for c in row.strip("|").split("|")]
+        assert len(cells) == 10
+        float(cells[5]), float(cells[6])  # parsable P/R scores
+
+
+def test_rehearse_dtu_smoke(tmp_path):
+    """The DTU rehearsal driver (train -> finalize -> eval_lsr -> eval_dtu
+    ObsMask path) completes on a tiny DTU-convention synthetic scene and
+    writes the metrics artifact."""
+    import glob
+
+    from tools.rehearse_dtu import main as rehearse_main
+
+    scan_dir = tmp_path / "toy" / "scan7"
+    generate_scene(str(scan_dir), n_views=3, res=(48, 48), convention="dtu")
+    conf = TINY_CONF.replace(
+        "dataset_class = datasets.blender_hawp_dataset.BlenderDataset",
+        "dataset_class = datasets.scene_hawp_dataset.SceneDataset",
+    ).replace(
+        "data_dir = toy",
+        "data_dir = toy\n    scan_id = 7\n    distance_threshold = 3.0\n"
+        "    max_verts = 16",
+    )
+    cpath = tmp_path / "dtu-rehearsal.conf"
+    cpath.write_text(conf)
+    rehearse_main([
+        "--scene-root", str(tmp_path),
+        "--conf", str(cpath),
+        "--scan", "7",
+        "--nepoch", "1",
+    ])
+    metrics_files = glob.glob(
+        str(tmp_path / "exps" / "**" / "rehearsal_metrics.json"),
+        recursive=True,
+    )
+    assert len(metrics_files) == 1
+    with open(metrics_files[0]) as f:
+        m = json.load(f)
+    assert set(m) == {"junctions", "lines", "surface_obsmask"}
+    # a 1-epoch model may legitimately finalize to an empty wireframe, in
+    # which case the chamfer metrics are inf/nan by convention — the smoke
+    # contract is that the driver runs every protocol stage and records
+    # float-typed metrics in the documented structure
+    for section in m.values():
+        assert set(section) == {"accuracy_d2s", "completeness_s2d", "overall"}
+        for v in section.values():
+            assert isinstance(v, float), m
