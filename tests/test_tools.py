@@ -59,6 +59,61 @@ def test_finalize_sweep_smoke(tmp_path, capsys):
         float(cells[5]), float(cells[6])  # parsable P/R scores
 
 
+@pytest.mark.parametrize("convention", ["bmvs", "scannet"])
+def test_rehearse_scene_smoke(tmp_path, convention):
+    """The BMVS/ScanNet rehearsal driver covers its convention-specific
+    branches on a tiny synthetic scene: BMVS must hit (and record) the
+    200k-iteration rule through the DTU-style loader; ScanNet the
+    pose/*.txt + intrinsic.txt layout; both end in the mask-less
+    eval-lsr ACC/COMP protocol."""
+    import glob
+
+    from tools.rehearse_scene import main as rehearse_main
+
+    if convention == "bmvs":
+        conf = TINY_CONF.replace(
+            "dataset_class = datasets.blender_hawp_dataset.BlenderDataset",
+            "dataset_class = datasets.scene_hawp_dataset.SceneDataset",
+        ).replace(
+            "data_dir = toy",
+            "data_dir = BlendedMVS\n    scan_id = 11\n"
+            "    distance_threshold = 3.0\n    max_verts = 16",
+        )
+    else:
+        conf = TINY_CONF.replace(
+            "dataset_class = datasets.blender_hawp_dataset.BlenderDataset",
+            "dataset_class = datasets.scannet_hawp_dataset.SceneDataset",
+        ).replace(
+            "data_dir = toy",
+            "data_dir = scans\n    scan_id = 0\n"
+            "    distance_threshold = 3.0\n    max_verts = 16",
+        )
+    cpath = tmp_path / f"{convention}.conf"
+    cpath.write_text(conf)
+    rehearse_main([
+        "--convention", convention,
+        "--scene-root", str(tmp_path),
+        "--conf", str(cpath),
+        "--nepoch", "1",
+        "--n-views", "3",
+        "--res", "48", "48",
+    ])
+    metrics_files = glob.glob(
+        str(tmp_path / "exps" / "**" / "rehearsal_metrics.json"),
+        recursive=True,
+    )
+    assert len(metrics_files) == 1
+    with open(metrics_files[0]) as f:
+        m = json.load(f)
+    if convention == "bmvs":
+        assert m.pop("bmvs_rule_nepochs") == 200000 // 3
+    assert set(m) == {"junctions", "lines"}
+    for section in m.values():
+        assert set(section) == {"accuracy_d2s", "completeness_s2d", "overall"}
+        for v in section.values():
+            assert isinstance(v, float), m
+
+
 def test_rehearse_dtu_smoke(tmp_path):
     """The DTU rehearsal driver (train -> finalize -> eval_lsr -> eval_dtu
     ObsMask path) completes on a tiny DTU-convention synthetic scene and

@@ -53,7 +53,17 @@ def main(argv=None):
                         dest="vote_ratio",
                         help="view-count-relative junction vote gate "
                         "(see finalize --vote-ratio)")
+    parser.add_argument("--platform", default=None,
+                        choices=["cpu", "tpu", "axon"],
+                        help="pin the jax platform before backend init "
+                        "(this image's sitecustomize defaults to the "
+                        "tunneled TPU)")
     args = parser.parse_args(argv)
+
+    if args.platform is not None:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     exps = args.exps or osp.join(args.scene_root, "exps")
 
