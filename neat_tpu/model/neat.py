@@ -252,7 +252,13 @@ def neat_forward(
     ray_dirs = ray_dirs[0]  # (R, 3)
     cam_loc = jnp.broadcast_to(cam_loc, (n_rays, 3))
 
-    z_vals, z_eik = _sample_z(r_sample, ray_dirs, cam_loc, params, cfg, training)
+    # named scopes mark the phase boundaries in profiles and in the HLO
+    # op_name metadata (tools/bytes_accounting.py buckets by them; their
+    # backward ops inherit the scope under transpose(...))
+    with jax.named_scope("sampler"):
+        z_vals, z_eik = _sample_z(
+            r_sample, ray_dirs, cam_loc, params, cfg, training
+        )
     n_samples = z_vals.shape[-1]
 
     rays_d = z_vals[..., None] * ray_dirs[:, None, :]  # (R, S, 3)
@@ -277,28 +283,32 @@ def neat_forward(
                 "widths); disable use_pallas_field for this config"
             )
 
-        sdf, grads, rgb_flat, lines3d_flat = fused_field_eval(
-            params,
-            points_flat,
-            dirs_flat,
-            cfg.implicit,
-            cfg.rendering,
-            compute_dtype=cfg.field_compute_dtype,
-        )
+        with jax.named_scope("field_main"):
+            sdf, grads, rgb_flat, lines3d_flat = fused_field_eval(
+                params,
+                points_flat,
+                dirs_flat,
+                cfg.implicit,
+                cfg.rendering,
+                compute_dtype=cfg.field_compute_dtype,
+            )
     else:
-        sdf, feats, grads = implicit_sdf_feat_grad(
-            params["implicit"], points_flat, cfg.implicit, compute_dtype=fdtype
-        )
-        rgb_flat = render_forward(
-            params["rendering"], points_flat, grads, dirs_flat, feats, cfg.rendering,
-            compute_dtype=fdtype,
-        )
+        with jax.named_scope("field_main"):
+            sdf, feats, grads = implicit_sdf_feat_grad(
+                params["implicit"], points_flat, cfg.implicit, compute_dtype=fdtype
+            )
+            rgb_flat = render_forward(
+                params["rendering"], points_flat, grads, dirs_flat, feats,
+                cfg.rendering, compute_dtype=fdtype,
+            )
     rgb = rgb_flat.reshape(n_rays, n_samples, 3)
 
-    density = laplace_density(
-        sdf.reshape(n_rays, n_samples), params["density"], beta_min=cfg.density_beta_min
-    )
-    weights = render_weights_from_density(z_vals, density)
+    with jax.named_scope("volume_render"):
+        density = laplace_density(
+            sdf.reshape(n_rays, n_samples), params["density"],
+            beta_min=cfg.density_beta_min,
+        )
+        weights = render_weights_from_density(z_vals, density)
 
     rgb_values = jnp.sum(weights[..., None] * rgb, axis=1)
     if cfg.white_bkgd:
@@ -330,23 +340,25 @@ def neat_forward(
         return out
 
     # ----- attraction field ------------------------------------------------
-    if use_fused_field:
-        lines3d = lines3d_flat.reshape(n_rays, n_samples, 2, 3)
-    else:
-        lines3d = attraction_forward(
-            params["attraction"], points_flat, grads, dirs_flat, feats,
-            cfg.attraction, compute_dtype=fdtype,
-        ).reshape(n_rays, n_samples, 2, 3)
-    w_for_lines = (
-        jax.lax.stop_gradient(weights) if cfg.detach_line_weights else weights
-    )
-    lines3d = jnp.sum(w_for_lines[..., None, None] * lines3d, axis=1)  # (R, 2, 3)
+    with jax.named_scope("attraction"):
+        if use_fused_field:
+            lines3d = lines3d_flat.reshape(n_rays, n_samples, 2, 3)
+        else:
+            lines3d = attraction_forward(
+                params["attraction"], points_flat, grads, dirs_flat, feats,
+                cfg.attraction, compute_dtype=fdtype,
+            ).reshape(n_rays, n_samples, 2, 3)
+        w_for_lines = (
+            jax.lax.stop_gradient(weights) if cfg.detach_line_weights else weights
+        )
+        lines3d = jnp.sum(w_for_lines[..., None, None] * lines3d, axis=1)  # (R, 2, 3)
 
     # surface point and a second field evaluation there
-    points3d = jnp.sum(weights[..., None] * points, axis=1)  # (R, 3)
-    points3d_sdf, _, points_gradients = implicit_sdf_feat_grad(
-        params["implicit"], points3d, cfg.implicit
-    )
+    with jax.named_scope("surface_eval"):
+        points3d = jnp.sum(weights[..., None] * points, axis=1)  # (R, 3)
+        points3d_sdf, _, points_gradients = implicit_sdf_feat_grad(
+            params["implicit"], points3d, cfg.implicit
+        )
 
     w2c = jnp.linalg.inv(pose)
     rot = w2c[:3, :3]
@@ -423,20 +435,21 @@ def neat_forward(
             proposals = endpoints
             prop_mask = jnp.ones((endpoints.shape[0],), dtype=bool)
 
-        junctions2d = project2d(k3, rot, trans, proposals)
-        junctions2d_calib = project2d(eye3, rot, trans, proposals)
+        with jax.named_scope("junction_match"):
+            junctions2d = project2d(k3, rot, trans, proposals)
+            junctions2d_calib = project2d(eye3, rot, trans, proposals)
 
-        verts2d = inputs["verts2d"]
-        verts_mask = inputs["verts_mask"]
-        jcost = jnp.sqrt(
-            jnp.sum((junctions2d[None] - verts2d[:, None]) ** 2, axis=-1) + 1e-12
-        )  # (V, P)
-        col_idx, assign_valid = masked_assignment(
-            jcost, verts_mask, prop_mask, method=cfg.assignment_method
-        )
-        assigned_cost = jnp.take_along_axis(
-            jcost, col_idx[:, None], axis=1
-        )[:, 0]  # (V,)
+            verts2d = inputs["verts2d"]
+            verts_mask = inputs["verts_mask"]
+            jcost = jnp.sqrt(
+                jnp.sum((junctions2d[None] - verts2d[:, None]) ** 2, axis=-1) + 1e-12
+            )  # (V, P)
+            col_idx, assign_valid = masked_assignment(
+                jcost, verts_mask, prop_mask, method=cfg.assignment_method
+            )
+            assigned_cost = jnp.take_along_axis(
+                jcost, col_idx[:, None], axis=1
+            )[:, 0]  # (V,)
 
         if cfg.use_median:
             median = _masked_median(
@@ -457,16 +470,18 @@ def neat_forward(
         out["j2d_global_calib"] = project2d(eye3, rot, trans, junctions3d_global)
 
         # ----- eikonal sample points --------------------------------------
-        out["grad_theta"] = _eikonal_gradients(
-            params,
-            cfg,
-            r_eik,
-            n_rays,
-            cam_loc,
-            ray_dirs,
-            z_eik,
-            jax.lax.stop_gradient(junctions3d_global) if cfg.junction_eikonal else None,
-        )
+        with jax.named_scope("eikonal"):
+            out["grad_theta"] = _eikonal_gradients(
+                params,
+                cfg,
+                r_eik,
+                n_rays,
+                cam_loc,
+                ray_dirs,
+                z_eik,
+                jax.lax.stop_gradient(junctions3d_global)
+                if cfg.junction_eikonal else None,
+            )
 
     return out
 

@@ -187,14 +187,16 @@ def make_train_step(
             aux["psnr"] = psnr_fn(out["rgb_values"], gt["rgb"])
             return losses["loss"], aux
         out = neat_forward(params, inputs, model_cfg, rng, training=True)
-        losses = neat_loss(out, ground_truth, loss_cfg)
+        with jax.named_scope("loss"):
+            losses = neat_loss(out, ground_truth, loss_cfg)
         aux = dict(losses)
         aux["psnr"] = psnr_fn(out["rgb_values"], ground_truth["rgb"])
         return losses["loss"], aux
 
     def step(state: TrainState, scene: Dict[str, jnp.ndarray], rng) -> Tuple[TrainState, Dict]:
         r_batch, r_fwd = jax.random.split(jax.random.fold_in(rng, state.step))
-        inputs, ground_truth = sample_batch(r_batch, scene, n_rays, img_width)
+        with jax.named_scope("batch_sample"):
+            inputs, ground_truth = sample_batch(r_batch, scene, n_rays, img_width)
         if model_cfg.dual_batch:
             # the reference's two-pass variant samples uv0 and uv from the
             # SAME DataLoader view (neat_wfr_dual.py:351-353); recover the
@@ -223,8 +225,9 @@ def make_train_step(
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, inputs, ground_truth, r_fwd
         )
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        with jax.named_scope("adam"):
+            updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
         return new_state, aux
 
