@@ -254,9 +254,14 @@ def main(argv=None):
     if args.out:
         with open(args.out, "w") as f:
             f.write(report + "\n")
-    print(json.dumps({"total_gb": round(total / 1e9, 3),
-                      "buckets": {k: round(v / 1e9, 3)
-                                  for k, v in by_bucket.items()}}))
+    summary = {"total_gb": round(total / 1e9, 3),
+               "buckets": {k: round(v / 1e9, 3)
+                           for k, v in by_bucket.items()}}
+    if cost:
+        for key in ("flops", "transcendentals", "bytes accessed"):
+            if key in cost:
+                summary[key.replace(" ", "_")] = float(cost[key])
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
