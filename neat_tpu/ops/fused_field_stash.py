@@ -1,0 +1,376 @@
+"""Hand-derived stashed-residual backward for the fused field kernel.
+
+The shipped fused kernel (ops/fused_field.py) derives its backward by
+tracing ``jax.vjp(_field_math)`` INSIDE the kernel — correct by
+construction, but it (a) recomputes the whole forward (implicit chain,
+inner spatial-gradient sweep, both heads) before the cotangent sweeps, and
+(b) jax's dot transpose rules promote every backward matmul to f32 when
+the forward ran bf16, so the backward never uses the bf16 MXU rate.
+
+This module implements the alternative VERDICT round-2 #4 asked for: the
+forward returns a compact residual set, and a HAND-WRITTEN backward
+consumes it with zero recompute of forward matmuls and with every large
+dot in the compute dtype (f32 accumulation). Key identities that keep the
+residuals small:
+
+  * softplus100 chain: storing the post-activation i = softplus(100 z)/100
+    is enough — sigma' = sigmoid(100 z) = 1 - exp(-100 i) exactly, and
+    sigma'' = 100 sigma' (1 - sigma'), so neither z nor sigma' is stored.
+  * relu heads: the stored post-activation doubles as the derivative mask
+    (i > 0) and as the weight-gradient operand.
+  * PE values: the stashed embedding e already contains sin/cos(2^k x), so
+    both the PE transpose and its second derivative (the tangent-PE
+    x-dependence) reuse them with no transcendentals.
+  * the second-order term through the inner gradient uses the JVP
+    identity  C_g . grad(sdf) = d/dt sdf(x + t C_g): one tangent forward
+    over stored activations, then ONE combined reverse sweep that carries
+    the primal and tangent cotangent chains together.
+
+Residual cost per point: 16 x 256 activations in compute dtype + 302 f32
+scalars (~9.6 KB at bf16) — written once by the forward, read once by the
+backward, vs. the recompute path's full re-evaluation.
+
+Validated against jax.vjp of ``fused_field._field_math`` in f32/f64
+(tests/test_ops.py::TestStashedBackward), including clamp-active and
+clamp-tie points.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..fields.mlp import ImplicitNetConfig, RenderNetConfig
+from .fused_field import (
+    N_HEAD_LAYERS,
+    N_IMPLICIT_LAYERS,
+    _pe,
+    _softplus100,
+    _unflatten_eff,
+)
+
+INV_SQRT2 = 1.0 / math.sqrt(2.0)
+
+
+def _balanced(a, b):
+    """lax.min's subgradient multiplier for operand ``a`` of min(a, b):
+    1 where a < b, 0.5 at ties, 0 otherwise (matches jax's _balanced_eq)."""
+    eq = a == b
+    lt = a < b
+    return jnp.where(lt, 1.0, jnp.where(eq, 0.5, 0.0))
+
+
+def field_fwd_res(
+    flat_eff,
+    x: jnp.ndarray,
+    d: jnp.ndarray,
+    icfg: ImplicitNetConfig,
+    rcfg: RenderNetConfig,
+    compute_dtype,
+):
+    """Forward pass returning (sdf, grads, rgb, att) plus the residuals
+    field_bwd_stashed consumes. Outputs match fused_field._field_math.
+
+    The spatial gradient is computed by an EXPLICIT reverse sweep (the
+    same math jax.vjp derives for _field_math's inner vjp), so its
+    intermediate values line up with the backward's reconstruction.
+    """
+    iw, rw, aw = _unflatten_eff(flat_eff)
+    cd = compute_dtype
+    # accumulation dtype: f32 for bf16/f32 compute, f64 under x64 tests
+    el = jnp.promote_types(jnp.float32, cd)
+
+    e = _pe(x, icfg.multires)  # (T, 39) f32
+    e_cd = e.astype(cd)
+
+    # implicit chain, saving post-activations
+    i_post: List[jnp.ndarray] = []  # sigma(z_0) .. sigma(z_7), cd
+    h = e_cd
+    inp_l = []  # actual layer inputs (cd), for the inner reverse sweep
+    for l in range(N_IMPLICIT_LAYERS):
+        if l == 4:
+            h = jnp.concatenate([h, e_cd], axis=-1) * INV_SQRT2
+        inp_l.append(h)
+        w, b = iw[l]
+        z = jnp.dot(h, w.astype(cd), preferred_element_type=el) + b
+        if l < N_IMPLICIT_LAYERS - 1:
+            h = _softplus100(z).astype(cd)
+            i_post.append(h)
+    z8 = z  # (T, 257) f32
+    sdf_raw = z8[..., :1]
+    feats = z8[..., 1:]
+
+    if icfg.sdf_bounding_sphere > 0.0:
+        norm_x = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        sphere = icfg.sphere_scale * (icfg.sdf_bounding_sphere - norm_x)
+        sdf = jnp.minimum(sdf_raw, sphere)
+        m_raw = _balanced(sdf_raw, sphere)
+        m_sph = _balanced(sphere, sdf_raw)
+    else:
+        norm_x = None
+        sdf = sdf_raw
+        m_raw = jnp.ones_like(sdf_raw)
+        m_sph = jnp.zeros_like(sdf_raw)
+
+    # ---- inner spatial gradient: explicit reverse sweep --------------
+    # sigma'(z_l) = 1 - exp(-100 i_l); expm1 avoids the catastrophic
+    # cancellation at saturated-negative units (i ~ 0, sigma' ~ 100 i)
+    s = [-jnp.expm1(-100.0 * ip.astype(el)) for ip in i_post]
+    v = jnp.concatenate(
+        [m_raw, jnp.zeros_like(feats)], axis=-1
+    )  # cot on z8, f32
+    cot_e = jnp.zeros_like(e)
+    for l in range(N_IMPLICIT_LAYERS - 1, -1, -1):
+        w, _ = iw[l]
+        u = jnp.dot(
+            v.astype(cd), w.astype(cd).T, preferred_element_type=el
+        )  # cot on inp_l
+        if l == 0:
+            cot_e = cot_e + u
+        elif l == 4:
+            # the pre-skip layer outputs dims[4] - encoding_dim channels;
+            # the skip concat restores full width with the embedding
+            ne = e.shape[-1]
+            u_h = u[..., :-ne] * INV_SQRT2
+            cot_e = cot_e + u[..., -ne:] * INV_SQRT2
+            v = u_h * s[l - 1]
+        else:
+            v = u * s[l - 1]
+    g_mlp = _pe_transpose(cot_e, e, x, icfg.multires)
+    if norm_x is not None:
+        g_sphere = -icfg.sphere_scale * x / norm_x
+        grads = m_raw * g_mlp + m_sph * g_sphere
+    else:
+        grads = g_mlp
+
+    # ---- heads --------------------------------------------------------
+    d_enc = _pe(d, rcfg.multires_view) if rcfg.multires_view > 0 else d
+    r_in = jnp.concatenate([x, d_enc, grads, feats], axis=-1)
+    a_in = jnp.concatenate([x, d, grads, feats], axis=-1)
+
+    def head_fwd(weights, inp):
+        posts = []
+        h = inp.astype(cd)
+        for l in range(N_HEAD_LAYERS):
+            w, b = weights[l]
+            h = jnp.dot(h, w.astype(cd), preferred_element_type=el) + b
+            if l < N_HEAD_LAYERS - 1:
+                h = jnp.maximum(h, 0.0).astype(cd)
+                posts.append(h)
+        return h, posts
+
+    zr, i_r = head_fwd(rw, r_in)
+    rgb = jax.nn.sigmoid(zr)
+    att, i_a = head_fwd(aw, a_in)
+
+    res = (e, tuple(i_post), tuple(i_r), tuple(i_a), z8, rgb, grads)
+    return (sdf, grads, rgb, att), res
+
+
+def _pe_transpose(cot_e, e, x, multires):
+    """J_PE(x)^T @ cot_e using the stashed sin/cos columns of e."""
+    out = cot_e[..., : x.shape[-1]]
+    for k in range(multires):
+        f = float(2.0**k)
+        sin_k = e[..., 3 + 6 * k : 6 + 6 * k]
+        cos_k = e[..., 6 + 6 * k : 9 + 6 * k]
+        c_sin = cot_e[..., 3 + 6 * k : 6 + 6 * k]
+        c_cos = cot_e[..., 6 + 6 * k : 9 + 6 * k]
+        out = out + f * (c_sin * cos_k - c_cos * sin_k)
+    return out
+
+
+def field_bwd_stashed(
+    flat_eff,
+    x: jnp.ndarray,
+    d: jnp.ndarray,
+    res,
+    cots,
+    icfg: ImplicitNetConfig,
+    rcfg: RenderNetConfig,
+    compute_dtype,
+):
+    """Backward from residuals: returns (deff, dx, dd) matching
+    jax.vjp(_field_math, flat_eff, x, d) cotangent application."""
+    iw, rw, aw = _unflatten_eff(flat_eff)
+    cd = compute_dtype
+    el = jnp.promote_types(jnp.float32, cd)
+    c_sdf, c_g, c_rgb, c_att = (c.astype(el) for c in cots)
+    e, i_post, i_r, i_a, z8, rgb, grads = res
+    e_cd = e.astype(cd)
+
+    sdf_raw = z8[..., :1]
+    feats = z8[..., 1:]
+    if icfg.sdf_bounding_sphere > 0.0:
+        norm_x = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        sphere = icfg.sphere_scale * (icfg.sdf_bounding_sphere - norm_x)
+        m_raw = _balanced(sdf_raw, sphere)
+        m_sph = _balanced(sphere, sdf_raw)
+    else:
+        norm_x = None
+        m_raw = jnp.ones_like(sdf_raw)
+        m_sph = jnp.zeros_like(sdf_raw)
+
+    em = [jnp.exp(-100.0 * ip.astype(el)) for ip in i_post]
+    s = [-jnp.expm1(-100.0 * ip.astype(el)) for ip in i_post]
+    # sigma'' = 100 sigma' (1 - sigma'); em is the accurate (1 - sigma')
+    spp = [100.0 * si * emi for si, emi in zip(s, em)]
+
+    # ---- heads backward ----------------------------------------------
+    d_enc = _pe(d, rcfg.multires_view) if rcfg.multires_view > 0 else d
+    r_in = jnp.concatenate([x, d_enc, grads, feats], axis=-1)
+    a_in = jnp.concatenate([x, d, grads, feats], axis=-1)
+
+    def head_bwd(weights, posts, inp0, delta):
+        dws = [None] * N_HEAD_LAYERS
+        for l in range(N_HEAD_LAYERS - 1, -1, -1):
+            i_l = inp0.astype(cd) if l == 0 else posts[l - 1]
+            w, _ = weights[l]
+            dws[l] = (
+                jnp.dot(
+                    i_l.T, delta.astype(cd),
+                    preferred_element_type=el,
+                ),
+                jnp.sum(delta, axis=0, keepdims=True),
+            )
+            t = jnp.dot(
+                delta.astype(cd), w.astype(cd).T,
+                preferred_element_type=el,
+            )
+            if l > 0:
+                delta = t * (posts[l - 1] > 0)
+        return dws, t  # t = cot on inp0
+
+    delta_r = c_rgb * rgb * (1.0 - rgb)
+    dws_r, cot_rin = head_bwd(rw, i_r, r_in, delta_r)
+    dws_a, cot_ain = head_bwd(aw, i_a, a_in, c_att)
+
+    n_enc = d_enc.shape[-1]
+    cx_r = cot_rin[..., :3]
+    c_denc = cot_rin[..., 3 : 3 + n_enc]
+    cg_r = cot_rin[..., 3 + n_enc : 6 + n_enc]
+    cf_r = cot_rin[..., 6 + n_enc :]
+    cx_a = cot_ain[..., :3]
+    cd_a = cot_ain[..., 3:6]
+    cg_a = cot_ain[..., 6:9]
+    cf_a = cot_ain[..., 9:]
+
+    if rcfg.multires_view > 0:
+        dd = cd_a + _pe_transpose(c_denc, d_enc, d, rcfg.multires_view)
+    else:
+        dd = cd_a + c_denc
+    C_g = c_g + cg_r + cg_a  # cotangent on grads, f32
+    C_f = cf_r + cf_a
+    dx = cx_r + cx_a
+
+    # split C_g between the mlp-gradient and sphere-gradient branches
+    Cg_mlp = C_g * m_raw
+
+    # ---- tangent forward (xdot = Cg_mlp) over stored activations ------
+    edot = _pe_tangent(e, x, Cg_mlp, icfg.multires)  # (T, 39) f32
+    edot_cd = edot.astype(cd)
+    hdot = edot_cd
+    tinp = []  # tangent layer inputs (cd)
+    zdots = []  # f32
+    for l in range(N_IMPLICIT_LAYERS):
+        if l == 4:
+            hdot = jnp.concatenate([hdot, edot_cd], axis=-1) * INV_SQRT2
+        tinp.append(hdot)
+        w, _ = iw[l]
+        zdot = jnp.dot(
+            hdot, w.astype(cd), preferred_element_type=el
+        )
+        zdots.append(zdot)
+        if l < N_IMPLICIT_LAYERS - 1:
+            hdot = (s[l] * zdot).astype(cd)
+
+    # ---- combined reverse sweep (primal + tangent chains) -------------
+    # seeds at z8: primal v gets the sdf_raw/min branch + feats cotangent;
+    # tangent vdot gets the C_g.grad objective's d/d zdot_8 = [1, 0...]
+    # (the Cg magnitude already rode in through xdot)
+    v = jnp.concatenate([c_sdf * m_raw, C_f], axis=-1)
+    vdot = jnp.concatenate(
+        [jnp.ones_like(sdf_raw), jnp.zeros_like(feats)], axis=-1
+    )
+    cot_e = jnp.zeros_like(e)
+    cot_edot = jnp.zeros_like(e)
+    d_iw = [None] * N_IMPLICIT_LAYERS
+    for l in range(N_IMPLICIT_LAYERS - 1, -1, -1):
+        w, _ = iw[l]
+        inp_l = (
+            e_cd if l == 0
+            else jnp.concatenate([i_post[3], e_cd], axis=-1) * INV_SQRT2
+            if l == 4
+            else i_post[l - 1]
+        )
+        v_cd = v.astype(cd)
+        vdot_cd = vdot.astype(cd)
+        dw = jnp.dot(
+            inp_l.T, v_cd, preferred_element_type=el
+        ) + jnp.dot(tinp[l].T, vdot_cd, preferred_element_type=el)
+        db = jnp.sum(v, axis=0, keepdims=True)
+        d_iw[l] = (dw, db)
+        wt = w.astype(cd).T
+        u = jnp.dot(v_cd, wt, preferred_element_type=el)
+        udot = jnp.dot(vdot_cd, wt, preferred_element_type=el)
+        if l == 0:
+            cot_e = cot_e + u
+            cot_edot = cot_edot + udot
+        elif l == 4:
+            ne = e.shape[-1]
+            cot_e = cot_e + u[..., -ne:] * INV_SQRT2
+            cot_edot = cot_edot + udot[..., -ne:] * INV_SQRT2
+            u_h = u[..., :-ne] * INV_SQRT2
+            ud_h = udot[..., :-ne] * INV_SQRT2
+            v = u_h * s[l - 1] + ud_h * spp[l - 1] * zdots[l - 1]
+            vdot = ud_h * s[l - 1]
+        else:
+            v = u * s[l - 1] + udot * spp[l - 1] * zdots[l - 1]
+            vdot = udot * s[l - 1]
+
+    dx = dx + _pe_transpose(cot_e, e, x, icfg.multires)
+    dx = dx + _pe_tangent_x_transpose(cot_edot, e, x, Cg_mlp, icfg.multires)
+
+    if norm_x is not None:
+        # c_sdf through min's sphere branch, and C_g through the sphere
+        # gradient's x-dependence
+        dx = dx + c_sdf * m_sph * (-icfg.sphere_scale) * x / norm_x
+        xdotC = jnp.sum(x * C_g, axis=-1, keepdims=True)
+        dx = dx + m_sph * (-icfg.sphere_scale) * (
+            C_g / norm_x - x * xdotC / norm_x**3
+        )
+
+    deff = []
+    for dw, db in d_iw + dws_r + dws_a:
+        deff.append(dw)
+        deff.append(db)
+    return tuple(deff), dx, dd
+
+
+def _pe_tangent(e, x, xdot, multires):
+    """J_PE(x) @ xdot using the stashed sin/cos columns of e."""
+    outs = [xdot]
+    for k in range(multires):
+        f = float(2.0**k)
+        sin_k = e[..., 3 + 6 * k : 6 + 6 * k]
+        cos_k = e[..., 6 + 6 * k : 9 + 6 * k]
+        outs.append(f * cos_k * xdot)
+        outs.append(-f * sin_k * xdot)
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _pe_tangent_x_transpose(cot_edot, e, x, xdot, multires):
+    """d/dx of (cot_edot . J_PE(x) xdot) with xdot held constant: the
+    tangent embedding's second-derivative terms -f^2 sin/cos."""
+    out = jnp.zeros_like(x)
+    for k in range(multires):
+        f = float(2.0**k)
+        sin_k = e[..., 3 + 6 * k : 6 + 6 * k]
+        cos_k = e[..., 6 + 6 * k : 9 + 6 * k]
+        c_sin = cot_edot[..., 3 + 6 * k : 6 + 6 * k]
+        c_cos = cot_edot[..., 6 + 6 * k : 9 + 6 * k]
+        out = out + f * f * (-c_sin * sin_k - c_cos * cos_k) * xdot
+    return out

@@ -141,3 +141,141 @@ class TestFusedField:
             scale = np.abs(np.asarray(px)).max() + 1e-8
             err = np.abs(np.asarray(px) - np.asarray(pf)).max() / scale
             assert err < 1e-3, err
+
+
+class TestStashedBackward:
+    """Hand-derived stashed-residual fwd/bwd (ops/fused_field_stash.py) vs
+    jax.vjp of the traced kernel math (_field_math), in f32 — forward
+    outputs AND the full (weights, x, d) cotangent application must agree,
+    including the second-order terms through the inner spatial gradient
+    and the sphere-clamp branches."""
+
+    icfg = ImplicitNetConfig()
+    from neat_tpu.fields.mlp import RenderNetConfig as _R
+
+    rcfg = _R(multires_view=4)
+    acfg = _R(d_out=6, multires_view=0)
+
+    def _setup(self, n=257):
+        from neat_tpu.fields.mlp import (
+            init_attraction_net,
+            init_render_net,
+        )
+        from neat_tpu.ops.fused_field import _flatten_eff
+
+        k = jax.random.PRNGKey(3)
+        params = {
+            "implicit": init_implicit_net(jax.random.fold_in(k, 1), self.icfg),
+            "rendering": init_render_net(jax.random.fold_in(k, 2), self.rcfg),
+            "attraction": init_attraction_net(jax.random.fold_in(k, 3), self.acfg),
+        }
+        flat_eff = _flatten_eff(params)
+        x = jax.random.uniform(
+            jax.random.fold_in(k, 4), (n, 3), minval=-1.2, maxval=1.2
+        )
+        # push some points near/past the bounding sphere so the clamp's
+        # sphere branch (m_sph) is exercised in both fwd and bwd
+        far = x[: n // 4] * (3.2 / jnp.linalg.norm(x[: n // 4], axis=-1, keepdims=True))
+        x = jnp.concatenate([far, x[n // 4 :]], axis=0)
+        d = jax.random.normal(jax.random.fold_in(k, 5), (n, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        cots = (
+            jax.random.normal(jax.random.fold_in(k, 6), (n, 1)),
+            jax.random.normal(jax.random.fold_in(k, 7), (n, 3)),
+            jax.random.normal(jax.random.fold_in(k, 8), (n, 3)),
+            jax.random.normal(jax.random.fold_in(k, 9), (n, 6)),
+        )
+        return flat_eff, x, d, cots
+
+    @pytest.mark.slow  # full-size nested-vjp reference graph: slow CPU compile
+    def test_fwd_and_bwd_match_traced_vjp(self):
+        from neat_tpu.ops.fused_field import _field_math
+        from neat_tpu.ops.fused_field_stash import (
+            field_bwd_stashed,
+            field_fwd_res,
+        )
+
+        flat_eff, x, d, cots = self._setup()
+        cd = jnp.float32
+
+        ref_out, ref_vjp = jax.vjp(
+            lambda e, xx, dd: _field_math(e, xx, dd, self.icfg, self.rcfg, cd),
+            flat_eff, x, d,
+        )
+        out, res = field_fwd_res(flat_eff, x, d, self.icfg, self.rcfg, cd)
+        for a, b, name in zip(out, ref_out, ("sdf", "grads", "rgb", "att")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5, err_msg=name
+            )
+        # clamp really active somewhere
+        sdf, grads = out[0], out[1]
+        assert bool(jnp.any(jnp.linalg.norm(x, axis=-1) > 3.0))
+
+        # the traced-vjp gradients: loose tolerance — _field_math hard-casts
+        # grads/feats to f32 internally, so even exact adjoints differ by
+        # f32 noise through the 5-layer heads (same 1e-3 bound the fused
+        # kernel test uses)
+        ref_deff, ref_dx, ref_dd = ref_vjp(tuple(cots))
+        deff, dx, dd = field_bwd_stashed(
+            flat_eff, x, d, res, cots, self.icfg, self.rcfg, cd
+        )
+        np.testing.assert_allclose(
+            np.asarray(dx), np.asarray(ref_dx), rtol=1e-3, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(dd), np.asarray(ref_dd), rtol=1e-3, atol=2e-4
+        )
+        assert len(deff) == len(ref_deff)
+        # 5e-3: two algebraically-equivalent f32 computations of a
+        # second-order quantity differ by amplified rounding (the f64
+        # adjoint test below is the exact correctness gate at 1e-11)
+        for i, (a, b) in enumerate(zip(deff, ref_deff)):
+            scale = np.abs(np.asarray(b)).max() + 1e-8
+            err = np.abs(np.asarray(a) - np.asarray(b)).max() / scale
+            assert err < 5e-3, (i, err)
+
+    @pytest.mark.slow
+    def test_bwd_is_exact_adjoint_in_f64(self):
+        """The hand-written backward must be the EXACT adjoint of the
+        hand-written forward: compare against jax.vjp of field_fwd_res
+        itself in float64 — any structural error (wrong mask, missing
+        curvature term, mis-split skip) shows up at 1e-12, not under
+        float noise."""
+        from neat_tpu.ops.fused_field_stash import (
+            field_bwd_stashed,
+            field_fwd_res,
+        )
+
+        with jax.enable_x64(True):
+            flat_eff, x, d, cots = self._setup(n=65)
+            to64 = lambda t: jax.tree_util.tree_map(
+                lambda a: jnp.asarray(np.asarray(a), jnp.float64), t
+            )
+            flat_eff, x, d, cots = (
+                to64(flat_eff), to64(x), to64(d), to64(cots)
+            )
+            cd = jnp.float64
+
+            ref_out, ref_vjp = jax.vjp(
+                lambda e, xx, dd: field_fwd_res(
+                    e, xx, dd, self.icfg, self.rcfg, cd
+                )[0],
+                flat_eff, x, d,
+            )
+            out, res = field_fwd_res(flat_eff, x, d, self.icfg, self.rcfg, cd)
+            for a, b in zip(out, ref_out):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+            ref_deff, ref_dx, ref_dd = ref_vjp(tuple(cots))
+            deff, dx, dd = field_bwd_stashed(
+                flat_eff, x, d, res, cots, self.icfg, self.rcfg, cd
+            )
+            np.testing.assert_allclose(
+                np.asarray(dx), np.asarray(ref_dx), rtol=1e-11, atol=1e-11
+            )
+            np.testing.assert_allclose(
+                np.asarray(dd), np.asarray(ref_dd), rtol=1e-11, atol=1e-11
+            )
+            for i, (a, b) in enumerate(zip(deff, ref_deff)):
+                scale = np.abs(np.asarray(b)).max() + 1e-12
+                err = np.abs(np.asarray(a) - np.asarray(b)).max() / scale
+                assert err < 1e-11, (i, err)
