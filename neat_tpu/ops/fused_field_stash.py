@@ -374,3 +374,260 @@ def _pe_tangent_x_transpose(cot_edot, e, x, xdot, multires):
         c_cos = cot_edot[..., 6 + 6 * k : 9 + 6 * k]
         out = out + f * f * (-c_sin * sin_k - c_cos * cos_k) * xdot
     return out
+
+
+# ---------------------------------------------------------------------------
+# pallas wiring: forward kernel stashes residuals, backward consumes them
+# ---------------------------------------------------------------------------
+#
+# Residual packing per point-tile:
+#   * stash_cd (T, W_CD): all post-activations in compute dtype —
+#     implicit sigma(z_0..z_7) (7x256 + 217 at the pre-skip layer) then the
+#     two heads' relu outputs (2 x 4 x 256)
+#   * stash_f32 (T, 296): the embedding e (39) and z8 (257)
+#   rgb and grads ride through the custom_vjp residuals as ordinary
+#   forward outputs — no extra stores.
+
+from functools import partial as _partial
+
+from .fused_field import (  # noqa: E402
+    TILE,
+    BWD_VMEM_LIMIT,
+    _pad_to_tile,
+    _pallas_specs,
+)
+
+
+def _stash_widths(icfg: ImplicitNetConfig):
+    dims = icfg.layer_dims()
+    i_widths = []
+    for l in range(N_IMPLICIT_LAYERS - 1):
+        w = dims[l + 1] - dims[0] if (l + 1) in icfg.skip_in else dims[l + 1]
+        i_widths.append(w)
+    head_w = 4 * 256 * 2
+    return i_widths, sum(i_widths) + head_w
+
+
+def _pack_res(res, icfg):
+    e, i_post, i_r, i_a, z8, rgb, grads = res
+    stash_cd = jnp.concatenate(list(i_post) + list(i_r) + list(i_a), axis=-1)
+    stash_f32 = jnp.concatenate([e, z8], axis=-1)
+    return stash_cd, stash_f32
+
+
+def _unpack_res(stash_cd, stash_f32, rgb, grads, icfg):
+    i_widths, _ = _stash_widths(icfg)
+    i_post = []
+    o = 0
+    for w in i_widths:
+        i_post.append(stash_cd[..., o : o + w])
+        o += w
+    i_r = [stash_cd[..., o + k * 256 : o + (k + 1) * 256] for k in range(4)]
+    o += 4 * 256
+    i_a = [stash_cd[..., o + k * 256 : o + (k + 1) * 256] for k in range(4)]
+    ne = encoding_dim_39(icfg)
+    e = stash_f32[..., :ne]
+    z8 = stash_f32[..., ne:]
+    return (e, tuple(i_post), tuple(i_r), tuple(i_a), z8, rgb, grads)
+
+
+def encoding_dim_39(icfg):
+    from ..core.embedder import encoding_dim
+
+    return encoding_dim(icfg.multires, icfg.d_in)
+
+
+def _fwd_stash_kernel(icfg, rcfg, compute_dtype, x_ref, d_ref, *refs):
+    n_eff = 2 * (N_IMPLICIT_LAYERS + 2 * N_HEAD_LAYERS)
+    eff = tuple(r[:] for r in refs[:n_eff])
+    sdf_ref, grads_ref, rgb_ref, att_ref, scd_ref, sf32_ref = refs[n_eff:]
+    out, res = field_fwd_res(
+        eff, x_ref[:], d_ref[:], icfg, rcfg, compute_dtype
+    )
+    sdf, grads, rgb, att = out
+    sdf_ref[:] = sdf.astype(jnp.float32)
+    grads_ref[:] = grads.astype(jnp.float32)
+    rgb_ref[:] = rgb.astype(jnp.float32)
+    att_ref[:] = att.astype(jnp.float32)
+    stash_cd, stash_f32 = _pack_res(res, icfg)
+    scd_ref[:] = stash_cd
+    sf32_ref[:] = stash_f32.astype(jnp.float32)
+
+
+def _bwd_stash_kernel(icfg, rcfg, compute_dtype, x_ref, d_ref, *refs):
+    import jax.experimental.pallas as pl
+
+    n_eff = 2 * (N_IMPLICIT_LAYERS + 2 * N_HEAD_LAYERS)
+    eff = tuple(r[:] for r in refs[:n_eff])
+    scd, sf32, rgb, grads = (r[:] for r in refs[n_eff : n_eff + 4])
+    cots = tuple(r[:] for r in refs[n_eff + 4 : n_eff + 8])
+    out_refs = refs[n_eff + 8 :]
+    dx_ref, dd_ref = out_refs[:2]
+    deff_refs = out_refs[2:]
+
+    res = _unpack_res(scd, sf32, rgb, grads, icfg)
+    deff, dx, dd = field_bwd_stashed(
+        eff, x_ref[:], d_ref[:], res, cots, icfg, rcfg, compute_dtype
+    )
+    dx_ref[:] = dx.astype(jnp.float32)
+    dd_ref[:] = dd.astype(jnp.float32)
+
+    first = pl.program_id(0) == 0
+    for r, g in zip(deff_refs, deff):
+        g32 = g.astype(jnp.float32)
+
+        @pl.when(first)
+        def _(r=r, g32=g32):
+            r[:] = g32
+
+        @pl.when(jnp.logical_not(first))
+        def _(r=r, g32=g32):
+            r[:] = r[:] + g32
+
+
+def _fwd_stash_pallas(flat_eff, x, d, icfg, rcfg, compute_dtype, interpret):
+    if interpret:
+        out, res = field_fwd_res(flat_eff, x, d, icfg, rcfg, compute_dtype)
+        stash_cd, stash_f32 = _pack_res(res, icfg)
+        return (*out, stash_cd, stash_f32)
+    n = x.shape[0]
+    n_padded = -(-n // TILE) * TILE
+    xp = _pad_to_tile(x, n_padded, pad_value=1.0)
+    dp = _pad_to_tile(d, n_padded)
+    n_eff = len(flat_eff)
+    pl, tile_spec, full_spec, _ = _pallas_specs(n_eff, interpret)
+    _, w_cd = _stash_widths(icfg)
+    w_f32 = encoding_dim_39(icfg) + 1 + icfg.feature_vector_size
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((n_padded, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_padded, 3), jnp.float32),
+        jax.ShapeDtypeStruct((n_padded, 3), jnp.float32),
+        jax.ShapeDtypeStruct((n_padded, 6), jnp.float32),
+        jax.ShapeDtypeStruct((n_padded, w_cd), compute_dtype),
+        jax.ShapeDtypeStruct((n_padded, w_f32), jnp.float32),
+    )
+    in_specs = [tile_spec(3), tile_spec(3)] + [full_spec() for _ in range(n_eff)]
+    out_specs = (
+        tile_spec(1), tile_spec(3), tile_spec(3), tile_spec(6),
+        tile_spec(w_cd), tile_spec(w_f32),
+    )
+    outs = pl.pallas_call(
+        _partial(_fwd_stash_kernel, icfg, rcfg, compute_dtype),
+        out_shape=out_shapes,
+        grid=(n_padded // TILE,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+    )(xp, dp, *flat_eff)
+    sdf, grads, rgb, att, scd, sf32 = outs
+    return sdf[:n], grads[:n], rgb[:n], att[:n], scd[:n], sf32[:n]
+
+
+def _bwd_stash_pallas(
+    flat_eff, x, d, scd, sf32, rgb, grads, cots, icfg, rcfg,
+    compute_dtype, interpret,
+):
+    if interpret:
+        res = _unpack_res(scd, sf32, rgb, grads, icfg)
+        return field_bwd_stashed(
+            flat_eff, x, d, res, cots, icfg, rcfg, compute_dtype
+        )
+    n = x.shape[0]
+    n_padded = -(-n // TILE) * TILE
+    xp = _pad_to_tile(x, n_padded, pad_value=1.0)
+    dp = _pad_to_tile(d, n_padded)
+    scd_p = _pad_to_tile(scd, n_padded)
+    sf32_p = _pad_to_tile(sf32, n_padded)
+    rgb_p = _pad_to_tile(rgb, n_padded, pad_value=0.5)
+    grads_p = _pad_to_tile(grads, n_padded)
+    cots_p = tuple(_pad_to_tile(c, n_padded) for c in cots)
+    n_eff = len(flat_eff)
+    pl, tile_spec, full_spec, acc_spec = _pallas_specs(n_eff, interpret)
+    _, w_cd = _stash_widths(icfg)
+    w_f32 = encoding_dim_39(icfg) + 1 + icfg.feature_vector_size
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((n_padded, 3), jnp.float32),
+        jax.ShapeDtypeStruct((n_padded, 3), jnp.float32),
+    ] + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in flat_eff]
+    out_specs = [tile_spec(3), tile_spec(3)] + [
+        acc_spec(w.shape) for w in flat_eff
+    ]
+    in_specs = (
+        [tile_spec(3), tile_spec(3)]
+        + [full_spec() for _ in range(n_eff)]
+        + [tile_spec(w_cd), tile_spec(w_f32), tile_spec(3), tile_spec(3)]
+        + [tile_spec(w) for w in (1, 3, 3, 6)]
+    )
+    kwargs = {}
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=BWD_VMEM_LIMIT
+        )
+    except (ImportError, AttributeError):  # pragma: no cover
+        pass
+    outs = pl.pallas_call(
+        _partial(_bwd_stash_kernel, icfg, rcfg, compute_dtype),
+        out_shape=tuple(out_shapes),
+        grid=(n_padded // TILE,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        interpret=interpret,
+        **kwargs,
+    )(xp, dp, *flat_eff, scd_p, sf32_p, rgb_p, grads_p, *cots_p)
+    dx, dd = outs[0][:n], outs[1][:n]
+    return tuple(outs[2:]), dx, dd
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _fused_op_stash(flat_eff, x, d, icfg, rcfg, compute_dtype_name, interpret):
+    cd = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+    outs = _fwd_stash_pallas(flat_eff, x, d, icfg, rcfg, cd, interpret)
+    return outs[:4]
+
+
+def _fused_op_stash_fwd(
+    flat_eff, x, d, icfg, rcfg, compute_dtype_name, interpret
+):
+    cd = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+    sdf, grads, rgb, att, scd, sf32 = _fwd_stash_pallas(
+        flat_eff, x, d, icfg, rcfg, cd, interpret
+    )
+    return (sdf, grads, rgb, att), (flat_eff, x, d, scd, sf32, rgb, grads)
+
+
+def _fused_op_stash_bwd(icfg, rcfg, compute_dtype_name, interpret, res, cots):
+    flat_eff, x, d, scd, sf32, rgb, grads = res
+    cd = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+    deff, dx, dd = _bwd_stash_pallas(
+        flat_eff, x, d, scd, sf32, rgb, grads, cots, icfg, rcfg, cd, interpret
+    )
+    return deff, dx, dd
+
+
+_fused_op_stash.defvjp(_fused_op_stash_fwd, _fused_op_stash_bwd)
+
+
+def fused_field_eval_stash(
+    params,
+    points: jnp.ndarray,
+    dirs: jnp.ndarray,
+    icfg: ImplicitNetConfig,
+    rcfg: RenderNetConfig,
+    compute_dtype: str = "bfloat16",
+    interpret: bool = False,
+):
+    """Drop-in alternative to fused_field.fused_field_eval whose backward
+    reads stashed residuals instead of recomputing the forward."""
+    from .fused_field import _flatten_eff
+
+    flat_eff = _flatten_eff(params)
+    sdf, grads, rgb, att = _fused_op_stash(
+        flat_eff, points, dirs, icfg, rcfg, compute_dtype, interpret
+    )
+    offsets = att.reshape(*points.shape[:-1], 2, 3)
+    lines3d = points[..., None, :] + offsets
+    return sdf, grads, rgb, lines3d

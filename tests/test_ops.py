@@ -279,3 +279,55 @@ class TestStashedBackward:
                 scale = np.abs(np.asarray(b)).max() + 1e-12
                 err = np.abs(np.asarray(a) - np.asarray(b)).max() / scale
                 assert err < 1e-11, (i, err)
+
+
+class TestStashedFieldEval:
+    """fused_field_eval_stash (the custom-vjp op wired for the pallas
+    stash kernels) vs the XLA path, interpret mode, f32 — same contract
+    as TestFusedFieldKernel for the recompute-backward op."""
+
+    @pytest.mark.slow
+    def test_grads_match_xla(self):
+        from neat_tpu.fields.mlp import (
+            attraction_forward,
+            implicit_sdf_feat_grad,
+            render_forward,
+        )
+        from neat_tpu.ops.fused_field_stash import fused_field_eval_stash
+
+        t = TestFusedField()
+        params = t._params()
+        x, d = t._inputs(n=300)
+
+        def loss_xla(params):
+            sdf, feats, grads = implicit_sdf_feat_grad(params["implicit"], x, t.icfg)
+            rgb = render_forward(params["rendering"], x, grads, d, feats, t.rcfg)
+            att = attraction_forward(params["attraction"], x, grads, d, feats, t.acfg)
+            return (
+                jnp.mean(sdf**2)
+                + jnp.mean((jnp.linalg.norm(grads, axis=-1) - 1.0) ** 2)
+                + jnp.mean(rgb)
+                + jnp.mean(jnp.abs(att))
+            )
+
+        def loss_stash(params):
+            sdf, grads, rgb, lines = fused_field_eval_stash(
+                params, x, d, t.icfg, t.rcfg, compute_dtype="float32",
+                interpret=True,
+            )
+            return (
+                jnp.mean(sdf**2)
+                + jnp.mean((jnp.linalg.norm(grads, axis=-1) - 1.0) ** 2)
+                + jnp.mean(rgb)
+                + jnp.mean(jnp.abs(lines))
+            )
+
+        vx, gx = jax.value_and_grad(loss_xla)(params)
+        vf, gf = jax.value_and_grad(loss_stash)(params)
+        np.testing.assert_allclose(float(vx), float(vf), rtol=1e-5)
+        for px, pf in zip(
+            jax.tree_util.tree_leaves(gx), jax.tree_util.tree_leaves(gf)
+        ):
+            scale = np.abs(np.asarray(px)).max() + 1e-8
+            err = np.abs(np.asarray(px) - np.asarray(pf)).max() / scale
+            assert err < 1e-3, err

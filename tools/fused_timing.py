@@ -99,11 +99,21 @@ def main(argv=None):
             + jnp.sum(jnp.abs(att))
         )
 
+    from neat_tpu.ops.fused_field_stash import fused_field_eval_stash
+
+    def stash_outputs(params):
+        sdf, grads, rgb, lines = fused_field_eval_stash(
+            params, x, d, icfg, rcfg, compute_dtype=args.dtype
+        )
+        return sdf, grads, rgb, lines
+
     fns = {
         "xla_fwd": jax.jit(lambda p: scalarize(xla_outputs(p))),
         "xla_grad": jax.jit(jax.grad(lambda p: scalarize(xla_outputs(p)))),
         "fused_fwd": jax.jit(lambda p: scalarize(fused_outputs(p))),
         "fused_grad": jax.jit(jax.grad(lambda p: scalarize(fused_outputs(p)))),
+        "stash_fwd": jax.jit(lambda p: scalarize(stash_outputs(p))),
+        "stash_grad": jax.jit(jax.grad(lambda p: scalarize(stash_outputs(p)))),
     }
 
     def fetch(o):
