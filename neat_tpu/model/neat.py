@@ -121,6 +121,12 @@ class NeatConfig:
     # via runner/bench after checking supports_fused_field. Runs at
     # field_compute_dtype precision with f32 accumulation.
     use_pallas_field: bool = False
+    # backward strategy for the fused field kernel: 'recompute' re-derives
+    # the forward inside the backward kernel (jax.vjp-traced);
+    # 'stash' reads residuals the forward kernel wrote (hand-derived
+    # adjoint, ops/fused_field_stash.py) — no recompute, compute-dtype
+    # backward matmuls
+    pallas_field_backward: str = "recompute"
 
     @staticmethod
     def for_abc() -> "NeatConfig":
@@ -283,8 +289,12 @@ def neat_forward(
                 "widths); disable use_pallas_field for this config"
             )
 
+        if cfg.pallas_field_backward == "stash":
+            from ..ops.fused_field_stash import fused_field_eval_stash as _eval
+        else:
+            _eval = fused_field_eval
         with jax.named_scope("field_main"):
-            sdf, grads, rgb_flat, lines3d_flat = fused_field_eval(
+            sdf, grads, rgb_flat, lines3d_flat = _eval(
                 params,
                 points_flat,
                 dirs_flat,
