@@ -116,9 +116,11 @@ def field_fwd_res(
         m_sph = jnp.zeros_like(sdf_raw)
 
     # ---- inner spatial gradient: explicit reverse sweep --------------
-    # sigma'(z_l) = 1 - exp(-100 i_l); expm1 avoids the catastrophic
-    # cancellation at saturated-negative units (i ~ 0, sigma' ~ 100 i)
-    s = [-jnp.expm1(-100.0 * ip.astype(el)) for ip in i_post]
+    # sigma'(z_l) = 1 - exp(-100 i_l). Written with exp (not expm1)
+    # because Pallas TPU has no expm1 lowering; the cancellation at
+    # saturated-negative units (i ~ 0, sigma' ~ 100 i) costs ~1e-7
+    # absolute in f32 — far below the bf16 compute noise floor.
+    s = [1.0 - jnp.exp(-100.0 * ip.astype(el)) for ip in i_post]
     v = jnp.concatenate(
         [m_raw, jnp.zeros_like(feats)], axis=-1
     )  # cot on z8, f32
@@ -215,7 +217,7 @@ def field_bwd_stashed(
         m_sph = jnp.zeros_like(sdf_raw)
 
     em = [jnp.exp(-100.0 * ip.astype(el)) for ip in i_post]
-    s = [-jnp.expm1(-100.0 * ip.astype(el)) for ip in i_post]
+    s = [1.0 - emi for emi in em]  # no expm1 in Pallas TPU lowering
     # sigma'' = 100 sigma' (1 - sigma'); em is the accurate (1 - sigma')
     spp = [100.0 * si * emi for si, emi in zip(s, em)]
 
@@ -241,7 +243,8 @@ def field_bwd_stashed(
                 preferred_element_type=el,
             )
             if l > 0:
-                delta = t * (posts[l - 1] > 0)
+                # relu mask computed at el: Mosaic has no bf16 cmpf
+                delta = t * (posts[l - 1].astype(el) > 0)
         return dws, t  # t = cot on inp0
 
     delta_r = c_rgb * rgb * (1.0 - rgb)
