@@ -88,6 +88,7 @@ class TrainRunner:
         do_vis: bool = False,
         gitexp: bool = False,
         field_dtype: Optional[str] = None,
+        field_path: Optional[str] = None,
     ):
         self.do_vis = do_vis
         self.gitexp = gitexp
@@ -109,6 +110,17 @@ class TrainRunner:
                 self.cfg,
                 model=dataclasses.replace(
                     self.cfg.model, field_compute_dtype=field_dtype
+                ),
+            )
+        if field_path is not None:
+            self.cfg = dataclasses.replace(
+                self.cfg,
+                model=dataclasses.replace(
+                    self.cfg.model,
+                    use_pallas_field=field_path != "xla",
+                    pallas_field_backward=(
+                        field_path if field_path != "xla" else "recompute"
+                    ),
                 ),
             )
         self.expname = self.cfg.expname + expname_suffix
@@ -474,6 +486,11 @@ def main(argv=None):
                         choices=["float32", "bfloat16"],
                         help="override model.field_compute_dtype (precision "
                         "of the main differentiated field evals)")
+    parser.add_argument("--field_path", default=None,
+                        choices=["xla", "recompute", "stash"],
+                        help="main-pass field implementation: plain XLA, "
+                        "pallas fused with in-kernel recompute backward, or "
+                        "pallas fused with stashed-residual backward")
     parser.add_argument("--debug_nans", default=False, action="store_true",
                         help="raise on NaN inside jitted code (replaces the "
                         "reference's pdb NaN backward hooks)")
@@ -517,6 +534,7 @@ def main(argv=None):
         do_vis=args.do_vis,
         gitexp=args.gitexp,
         field_dtype=args.field_dtype,
+        field_path=args.field_path,
     )
     runner.run()
 

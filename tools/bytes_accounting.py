@@ -115,8 +115,13 @@ def bucket_for(op_name: str, opcode: str) -> str:
     return f"other/{direction}"
 
 
-def build_step(dtype: str):
-    """The exact bench.py step configuration."""
+def build_step(dtype: str, field: str = "xla"):
+    """The exact bench.py step configuration.
+
+    field: 'xla' (unfused field main pass), 'recompute' (pallas fused
+    field, backward recomputes the forward in-kernel), or 'stash'
+    (pallas fused field, backward reads stashed residuals).
+    """
     import dataclasses
 
     import jax
@@ -132,6 +137,10 @@ def build_step(dtype: str):
     if supports_fused_sdf(cfg.implicit) and backend in ("tpu", "axon"):
         cfg = dataclasses.replace(cfg, use_pallas_sampler=True)
     cfg = dataclasses.replace(cfg, field_compute_dtype=dtype)
+    if field != "xla":
+        cfg = dataclasses.replace(
+            cfg, use_pallas_field=True, pallas_field_backward=field
+        )
     img_res = (512, 512)
     hw = img_res[0] * img_res[1]
     n_views = 4

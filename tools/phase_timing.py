@@ -46,6 +46,9 @@ def main(argv=None):
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--field", default="xla",
+                    choices=["xla", "recompute", "stash"],
+                    help="field main-pass implementation (see build_step)")
     args = ap.parse_args(argv)
 
     import jax
@@ -60,7 +63,7 @@ def main(argv=None):
 
     from tools.bytes_accounting import build_step
 
-    step, state, scene_dev = build_step(args.dtype)
+    step, state, scene_dev = build_step(args.dtype, field=args.field)
     rng = jax.random.PRNGKey(1)
 
     def fetch_step(out):
@@ -82,6 +85,10 @@ def main(argv=None):
     if supports_fused_sdf(cfg.implicit) and backend in ("tpu", "axon"):
         cfg = dataclasses.replace(cfg, use_pallas_sampler=True)
     cfg = dataclasses.replace(cfg, field_compute_dtype=args.dtype)
+    if args.field != "xla":
+        cfg = dataclasses.replace(
+            cfg, use_pallas_field=True, pallas_field_backward=args.field
+        )
 
     @jax.jit
     def fwd(params, scene, rng):
@@ -122,6 +129,7 @@ def main(argv=None):
             {
                 "platform": jax.devices()[0].platform,
                 "dtype": args.dtype,
+                "field": args.field,
                 "sampler_ms": round(t_sampler * 1e3, 2),
                 "forward_ms": round(t_fwd * 1e3, 2),
                 "step_ms": round(t_step * 1e3, 2),
