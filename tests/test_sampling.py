@@ -160,6 +160,59 @@ class TestErrorBound:
         assert np.isfinite(np.asarray(out)).all()
 
 
+class TestBetaGridSearch:
+    """beta_search='grid' — the batched log-spaced candidate pass that
+    replaces the reference's 10 sequential bisection error-bound evals per
+    refinement round (ray_sampler.py:176-185). Both searches pick an
+    admissible beta (error <= eps) from [beta0, beta_max]; grid picks the
+    smallest admissible candidate, bisection the bisection limit — the
+    sampled z distributions must agree behaviorally."""
+
+    base = dict(
+        scene_bounding_sphere=3.0,
+        near=0.0,
+        n_samples=16,
+        n_samples_eval=32,
+        n_samples_extra=8,
+        eps=0.1,
+        beta_iters=10,
+        max_total_iters=3,
+    )
+    density = LaplaceDensityParams.init(0.1)
+
+    def _run(self, beta_search, training=False):
+        cfg = ErrorBoundSamplerConfig(**self.base, beta_search=beta_search)
+        n = 8
+        dirs = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+        loc = jnp.tile(jnp.asarray([[0.0, 0.0, -2.5]]), (n, 1))
+        z, z_eik = error_bound_z_vals(
+            jax.random.PRNGKey(0), dirs, loc, sphere_sdf, self.density,
+            cfg, training=training,
+        )
+        return np.asarray(z), np.asarray(z_eik)
+
+    @pytest.mark.slow
+    def test_valid_and_concentrated(self):
+        z, z_eik = self._run("grid")
+        assert (np.diff(z, axis=1) >= 0).all()
+        assert z.min() >= 0.0 and z.max() <= 6.0 + 1e-5
+        inner = z[:, 1:-1]
+        frac_near = np.mean(np.abs(inner - 1.5) < 0.5)
+        assert frac_near > 0.5, f"only {frac_near:.2f} of samples near surface"
+
+    @pytest.mark.slow
+    def test_matches_bisect_distribution(self):
+        """Deterministic (eval) draws from the two searches must place
+        samples at nearly the same depths: both betas satisfy the same
+        error bound, so the final CDFs are close."""
+        z_grid, _ = self._run("grid")
+        z_bis, _ = self._run("bisect")
+        # compare the deterministic sample positions directly
+        diff = np.abs(z_grid - z_bis)
+        assert np.median(diff) < 0.05, f"median |dz| = {np.median(diff):.4f}"
+        assert np.mean(diff) < 0.15, f"mean |dz| = {np.mean(diff):.4f}"
+
+
 class TestAssignment:
     def test_single_column_assigns_best_row(self):
         """One live column: second_v is -inf, so the bid saturates; the

@@ -115,12 +115,14 @@ def bucket_for(op_name: str, opcode: str) -> str:
     return f"other/{direction}"
 
 
-def build_step(dtype: str, field: str = "xla"):
+def build_step(dtype: str, field: str = "xla", beta_search: str = "bisect"):
     """The exact bench.py step configuration.
 
     field: 'xla' (unfused field main pass), 'recompute' (pallas fused
     field, backward recomputes the forward in-kernel), or 'stash'
     (pallas fused field, backward reads stashed residuals).
+    beta_search: sampler beta line-search ('bisect' = reference 10-step
+    bisection, 'grid' = one batched log-spaced candidate pass).
     """
     import dataclasses
 
@@ -140,6 +142,10 @@ def build_step(dtype: str, field: str = "xla"):
     if field != "xla":
         cfg = dataclasses.replace(
             cfg, use_pallas_field=True, pallas_field_backward=field
+        )
+    if beta_search != "bisect":
+        cfg = dataclasses.replace(
+            cfg, sampler=dataclasses.replace(cfg.sampler, beta_search=beta_search)
         )
     img_res = (512, 512)
     hw = img_res[0] * img_res[1]

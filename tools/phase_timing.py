@@ -49,6 +49,9 @@ def main(argv=None):
     ap.add_argument("--field", default="xla",
                     choices=["xla", "recompute", "stash"],
                     help="field main-pass implementation (see build_step)")
+    ap.add_argument("--beta_search", default="bisect",
+                    choices=["bisect", "grid"],
+                    help="sampler beta line-search strategy (see build_step)")
     args = ap.parse_args(argv)
 
     import jax
@@ -63,7 +66,9 @@ def main(argv=None):
 
     from tools.bytes_accounting import build_step
 
-    step, state, scene_dev = build_step(args.dtype, field=args.field)
+    step, state, scene_dev = build_step(
+        args.dtype, field=args.field, beta_search=args.beta_search
+    )
     rng = jax.random.PRNGKey(1)
 
     def fetch_step(out):
@@ -88,6 +93,13 @@ def main(argv=None):
     if args.field != "xla":
         cfg = dataclasses.replace(
             cfg, use_pallas_field=True, pallas_field_backward=args.field
+        )
+    if args.beta_search != "bisect":
+        cfg = dataclasses.replace(
+            cfg,
+            sampler=dataclasses.replace(
+                cfg.sampler, beta_search=args.beta_search
+            ),
         )
 
     @jax.jit
@@ -130,6 +142,7 @@ def main(argv=None):
                 "platform": jax.devices()[0].platform,
                 "dtype": args.dtype,
                 "field": args.field,
+                "beta_search": args.beta_search,
                 "sampler_ms": round(t_sampler * 1e3, 2),
                 "forward_ms": round(t_fwd * 1e3, 2),
                 "step_ms": round(t_step * 1e3, 2),

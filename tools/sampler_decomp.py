@@ -49,6 +49,10 @@ def main(argv=None):
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--rays", type=int, default=1024)
+    ap.add_argument("--beta_search", default="bisect", choices=["bisect", "grid"],
+                    help="beta line-search strategy to time (the 'grid' mode "
+                    "replaces 10 sequential bisection error-bound evals per "
+                    "round with one batched pass)")
     args = ap.parse_args(argv)
 
     import jax
@@ -71,7 +75,7 @@ def main(argv=None):
     from neat_tpu.sampling.samplers import error_bound_z_vals
 
     cfg = NeatConfig.for_abc()
-    scfg = cfg.sampler
+    scfg = dataclasses.replace(cfg.sampler, beta_search=args.beta_search)
     icfg = cfg.implicit
     k = jax.random.PRNGKey(0)
     params = init_implicit_net(jax.random.fold_in(k, 1), icfg)
@@ -131,6 +135,7 @@ def main(argv=None):
         json.dumps(
             {
                 "platform": jax.devices()[0].platform,
+                "beta_search": args.beta_search,
                 "rays": R,
                 "sdf_batch_ms": round(t_sdf * 1e3, 3),
                 "sdf_x%d_ms" % n_rounds: round(t_sdf * n_rounds * 1e3, 2),
