@@ -173,6 +173,14 @@ class ErrorBoundSamplerConfig:
     # launches on TPU
     beta_search: str = "bisect"
     beta_grid_size: int = 32
+    # 'on' fuses each refinement round's bookkeeping (d*, the 10-step beta
+    # bisection, weights, refinement pdf) into one Pallas kernel
+    # (ops/fused_round.py) — the XLA path's ~40 small per-round kernels
+    # round-trip their (R, S) operands through HBM on every bisection
+    # step. 'interpret' runs the same kernel through the Pallas
+    # interpreter (CPU tests). Requires R % 128 == 0 and S % 128 == 0;
+    # other shapes fall back to the XLA path.
+    fused_rounds: str = "off"  # 'off' | 'on' | 'interpret'
 
     @property
     def far_value(self) -> float:
@@ -263,8 +271,48 @@ def error_bound_z_vals(
     bound = (1.0 / (4.0 * math.log(cfg.eps + 1.0))) * jnp.sum(dists0**2, -1)
     beta = jnp.sqrt(bound)
 
+    use_fused_rounds = (
+        cfg.fused_rounds != "off"
+        and n_rays % 128 == 0
+        and cfg.n_samples_eval % 128 == 0
+    )
+
     weights = None
     for it in range(cfg.max_total_iters):
+        if use_fused_rounds:
+            from ..ops.fused_round import fused_sampler_round
+
+            refine = it < cfg.max_total_iters - 1
+            beta, weights, pdf_full = fused_sampler_round(
+                z_vals.astype(jnp.float32),
+                sdf.astype(jnp.float32),
+                beta,
+                beta0,
+                eps=cfg.eps,
+                beta_iters=cfg.beta_iters,
+                add_tiny=cfg.add_tiny,
+                refine=refine,
+                interpret=cfg.fused_rounds == "interpret",
+            )
+            if refine:
+                pdf = pdf_full[:, :-1]
+                cdf = jnp.cumsum(pdf, axis=-1)
+                cdf = jnp.concatenate(
+                    [jnp.zeros_like(cdf[..., :1]), cdf], axis=-1
+                )
+                u = jnp.broadcast_to(
+                    jnp.linspace(0.0, 1.0, cfg.n_samples_eval, dtype=dtype),
+                    (n_rays, cfg.n_samples_eval),
+                )
+                new_z = _invert_cdf(z_vals, cdf, u)
+                new_sdf = eval_sdf(new_z)
+                z_cat = jnp.concatenate([z_vals, new_z], axis=-1)
+                sdf_cat = jnp.concatenate([sdf, new_sdf], axis=-1)
+                z_vals, sdf = jax.lax.sort(
+                    (z_cat, sdf_cat), dimension=-1, num_keys=1
+                )
+            continue
+
         dists = z_vals[..., 1:] - z_vals[..., :-1]
         d_star = _d_star(z_vals, sdf)
 

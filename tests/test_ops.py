@@ -331,3 +331,111 @@ class TestStashedFieldEval:
             scale = np.abs(np.asarray(px)).max() + 1e-8
             err = np.abs(np.asarray(px) - np.asarray(pf)).max() / scale
             assert err < 1e-3, err
+
+
+class TestFusedSamplerRound:
+    """ops/fused_round.py (one-kernel refinement round) vs the XLA round
+    math in sampling/samplers.py, interpret mode on CPU, f32."""
+
+    def _round_xla(self, z, sdf, beta, beta0, eps, beta_iters, add_tiny, refine):
+        """The exact per-round block of error_bound_z_vals (bisect path)."""
+        from neat_tpu.core.density import LaplaceDensityParams, laplace_density
+        from neat_tpu.core.render import alpha_transmittance
+        from neat_tpu.sampling.samplers import _d_star, _error_bound
+
+        # _error_bound/laplace_density take beta explicitly; params unused
+        params = LaplaceDensityParams.init(1.0)
+        beta_min = 0.0
+        dists = z[..., 1:] - z[..., :-1]
+        d_star = _d_star(z, sdf)
+        curr = _error_bound(beta0, params, beta_min, sdf, dists, d_star)
+        beta = jnp.where(curr <= eps, beta0, beta)
+        beta_lo = jnp.full(z.shape[:1], beta0)
+        beta_hi = beta
+        for _ in range(beta_iters):
+            mid = 0.5 * (beta_lo + beta_hi)
+            err = _error_bound(mid[:, None], params, beta_min, sdf, dists, d_star)
+            ok = err <= eps
+            beta_hi = jnp.where(ok, mid, beta_hi)
+            beta_lo = jnp.where(ok, beta_lo, mid)
+        beta = beta_hi
+        density = laplace_density(sdf, params, beta_min=beta_min, beta=beta[:, None])
+        alpha, transmittance, _ = alpha_transmittance(z, density)
+        weights = alpha * transmittance
+        pdf = None
+        if refine:
+            err_sec = (
+                jnp.exp(-d_star / beta[:, None]) * dists**2 / (4.0 * beta[:, None] ** 2)
+            )
+            err_int = jnp.cumsum(err_sec, axis=-1)
+            bound_opacity = (
+                jnp.clip(jnp.exp(err_int), max=1e6) - 1.0
+            ) * transmittance[..., :-1]
+            pdf = bound_opacity + add_tiny
+            pdf = pdf / jnp.sum(pdf, axis=-1, keepdims=True)
+        return beta, weights, pdf
+
+    def _data(self, r=128, s=256, seed=0):
+        rng = np.random.RandomState(seed)
+        z = np.sort(rng.uniform(0.0, 6.0, size=(r, s)).astype(np.float32), axis=1)
+        # SDF of rays crossing a unit sphere-ish surface: smooth, sign changes
+        sdf = (np.abs(z - 3.0) - 1.5 + 0.3 * rng.randn(r, s)).astype(np.float32)
+        beta = rng.uniform(0.05, 0.5, size=(r,)).astype(np.float32)
+        return jnp.asarray(z), jnp.asarray(sdf), jnp.asarray(beta)
+
+    @pytest.mark.parametrize("refine", [True, False])
+    def test_matches_xla_round(self, refine):
+        from neat_tpu.ops.fused_round import fused_sampler_round
+
+        z, sdf, beta = self._data()
+        beta0 = jnp.asarray(2e-3 + 1e-4, jnp.float32)
+        eps, iters, tiny = 0.1, 10, 0.0
+        bx, wx, px = self._round_xla(z, sdf, beta, beta0, eps, iters, tiny, refine)
+        bf, wf, pf = fused_sampler_round(
+            z, sdf, beta, beta0, eps=eps, beta_iters=iters, add_tiny=tiny,
+            refine=refine, interpret=True,
+        )
+        # bisection betas: identical branch decisions except within ~ulp of
+        # the err<=eps knife edge; compare to float tolerance
+        np.testing.assert_allclose(np.asarray(bf), np.asarray(bx), rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(wf), np.asarray(wx), rtol=2e-4, atol=2e-5)
+        if refine:
+            np.testing.assert_allclose(
+                np.asarray(pf[:, :-1]), np.asarray(px), rtol=2e-4, atol=2e-5
+            )
+            assert np.all(np.asarray(pf[:, -1]) == 0.0)
+
+    @pytest.mark.slow
+    def test_sampler_end_to_end_fused(self):
+        """error_bound_z_vals with fused_rounds='interpret' vs 'off' on the
+        sphere scene: same sample distribution."""
+        import dataclasses
+
+        from neat_tpu.core.density import LaplaceDensityParams
+        from neat_tpu.sampling import ErrorBoundSamplerConfig, error_bound_z_vals
+
+        def sphere_sdf(pts):
+            return jnp.linalg.norm(pts, axis=-1) - 1.0
+
+        base = ErrorBoundSamplerConfig(
+            scene_bounding_sphere=3.0, near=0.0, n_samples=16,
+            n_samples_eval=128, n_samples_extra=8, eps=0.1, beta_iters=10,
+            max_total_iters=3,
+        )
+        density = LaplaceDensityParams.init(0.1)
+        n = 128
+        dirs = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+        loc = jnp.tile(jnp.asarray([[0.0, 0.0, -2.5]]), (n, 1))
+
+        def run(cfg):
+            z, ze = error_bound_z_vals(
+                jax.random.PRNGKey(0), dirs, loc, sphere_sdf, density, cfg,
+                training=False,
+            )
+            return np.asarray(z)
+
+        z_x = run(base)
+        z_f = run(dataclasses.replace(base, fused_rounds="interpret"))
+        diff = np.abs(z_x - z_f)
+        assert np.median(diff) < 1e-4, np.median(diff)
+        assert diff.mean() < 0.02, diff.mean()
