@@ -74,8 +74,12 @@ def _cumsum_excl(x, lanes):
 
 def _laplace_density(sdf, beta):
     """alpha * (0.5 + 0.5 sign(s) expm1(-|s|/beta)), alpha = 1/beta
-    (core/density.py:laplace_density)."""
-    return (0.5 + 0.5 * jnp.sign(sdf) * jnp.expm1(-jnp.abs(sdf) / beta)) / beta
+    (core/density.py:laplace_density). Written expm1-free (Pallas TPU has
+    no expm1 lowering): for s >= 0 the expression collapses exactly to
+    0.5 exp(-s/beta), for s < 0 to 1 - 0.5 exp(-|s|/beta) — no
+    cancellation in either branch."""
+    e = jnp.exp(-jnp.abs(sdf) / beta)
+    return jnp.where(sdf >= 0.0, 0.5 * e, 1.0 - 0.5 * e) / beta
 
 
 def _error_bound_max(beta_col, sdf, dists, d_star, interval_mask, lanes):
