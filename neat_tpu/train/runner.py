@@ -200,6 +200,49 @@ class TrainRunner:
                 model=dataclasses.replace(self.cfg.model, use_pallas_sampler=True),
             )
             self.logger.info("pallas fused-SDF sampler kernel enabled")
+            # fused refinement rounds (ops/fused_round.py) ride the same
+            # gate: TPU backend, canonical architecture, bf16 perf path
+            # (an f32 sampler_compute_dtype conf asks for the strict-
+            # parity XLA sampler). Non-128-multiple ray/sample counts
+            # fall back inside error_bound_z_vals.
+            self.cfg = dataclasses.replace(
+                self.cfg,
+                model=dataclasses.replace(
+                    self.cfg.model,
+                    sampler=dataclasses.replace(
+                        self.cfg.model.sampler, fused_rounds="on"
+                    ),
+                ),
+            )
+            self.logger.info("pallas fused sampler-round kernel enabled")
+
+        # stash-backward fused field main pass: default on TPU for the
+        # canonical bf16 configuration (A/B-validated, RESULTS.md round 3);
+        # --field_path overrides (xla/recompute/stash), f32 confs keep the
+        # strict-parity XLA path
+        from ..ops.fused_field import supports_fused_field
+
+        if (
+            field_path is None
+            and not self.cfg.model.use_pallas_field
+            and self.cfg.model.model_variant == "neat"
+            and backend in ("tpu", "axon")
+            and self.cfg.model.field_compute_dtype == "bfloat16"
+            and supports_fused_field(
+                self.cfg.model.implicit,
+                self.cfg.model.rendering,
+                self.cfg.model.attraction,
+            )
+        ):
+            self.cfg = dataclasses.replace(
+                self.cfg,
+                model=dataclasses.replace(
+                    self.cfg.model,
+                    use_pallas_field=True,
+                    pallas_field_backward="stash",
+                ),
+            )
+            self.logger.info("pallas stashed-backward field kernel enabled")
 
         # ----- model/optimizer state
         params = init_neat(jax.random.PRNGKey(seed), self.cfg.model)

@@ -115,7 +115,12 @@ def bucket_for(op_name: str, opcode: str) -> str:
     return f"other/{direction}"
 
 
-def build_step(dtype: str, field: str = "xla", beta_search: str = "bisect"):
+def build_step(
+    dtype: str,
+    field: str = "xla",
+    beta_search: str = "bisect",
+    fused_rounds: str = "off",
+):
     """The exact bench.py step configuration.
 
     field: 'xla' (unfused field main pass), 'recompute' (pallas fused
@@ -146,6 +151,10 @@ def build_step(dtype: str, field: str = "xla", beta_search: str = "bisect"):
     if beta_search != "bisect":
         cfg = dataclasses.replace(
             cfg, sampler=dataclasses.replace(cfg.sampler, beta_search=beta_search)
+        )
+    if fused_rounds != "off":
+        cfg = dataclasses.replace(
+            cfg, sampler=dataclasses.replace(cfg.sampler, fused_rounds=fused_rounds)
         )
     img_res = (512, 512)
     hw = img_res[0] * img_res[1]

@@ -52,6 +52,9 @@ def main(argv=None):
     ap.add_argument("--beta_search", default="bisect",
                     choices=["bisect", "grid"],
                     help="sampler beta line-search strategy (see build_step)")
+    ap.add_argument("--fused_rounds", default="off",
+                    choices=["off", "on", "interpret"],
+                    help="pallas fused refinement-round kernel (see build_step)")
     args = ap.parse_args(argv)
 
     import jax
@@ -67,7 +70,8 @@ def main(argv=None):
     from tools.bytes_accounting import build_step
 
     step, state, scene_dev = build_step(
-        args.dtype, field=args.field, beta_search=args.beta_search
+        args.dtype, field=args.field, beta_search=args.beta_search,
+        fused_rounds=args.fused_rounds,
     )
     rng = jax.random.PRNGKey(1)
 
@@ -99,6 +103,13 @@ def main(argv=None):
             cfg,
             sampler=dataclasses.replace(
                 cfg.sampler, beta_search=args.beta_search
+            ),
+        )
+    if args.fused_rounds != "off":
+        cfg = dataclasses.replace(
+            cfg,
+            sampler=dataclasses.replace(
+                cfg.sampler, fused_rounds=args.fused_rounds
             ),
         )
 
@@ -143,6 +154,7 @@ def main(argv=None):
                 "dtype": args.dtype,
                 "field": args.field,
                 "beta_search": args.beta_search,
+                "fused_rounds": args.fused_rounds,
                 "sampler_ms": round(t_sampler * 1e3, 2),
                 "forward_ms": round(t_fwd * 1e3, 2),
                 "step_ms": round(t_step * 1e3, 2),
