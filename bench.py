@@ -48,10 +48,23 @@ def main():
     backend = jax.devices()[0].platform.lower()
     if supports_fused_sdf(cfg.implicit) and backend in ("tpu", "axon"):
         cfg = dataclasses.replace(cfg, use_pallas_sampler=True)
+        # fused refinement rounds (ops/fused_round.py): the sampler's
+        # bisection bookkeeping stays VMEM-resident instead of ~40 small
+        # HBM-round-trip kernels per round
+        cfg = dataclasses.replace(
+            cfg, sampler=dataclasses.replace(cfg.sampler, fused_rounds="on")
+        )
     # bf16 main-pass field compute: training-parity validated (RESULTS.md
     # 100-epoch A/B: +0.01 dB mean PSNR gap vs f32) and the config the
     # shipped quality run was trained with
     cfg = dataclasses.replace(cfg, field_compute_dtype="bfloat16")
+    # stashed-residual fused field main pass (ops/fused_field_stash.py):
+    # zero forward recompute in the backward + compute-dtype backward
+    # matmuls; A/B-validated at 100 epochs (RESULTS.md round 3)
+    if backend in ("tpu", "axon"):
+        cfg = dataclasses.replace(
+            cfg, use_pallas_field=True, pallas_field_backward="stash"
+        )
     img_res = (512, 512)
     hw = img_res[0] * img_res[1]
     n_views = 4  # keep synthetic scene small; per-step work is view-count free

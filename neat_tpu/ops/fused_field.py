@@ -221,11 +221,21 @@ def _bwd_kernel(icfg, rcfg, compute_dtype, x_ref, d_ref, *refs):
     dx_ref, dd_ref = out_refs[:2]
     deff_refs = out_refs[2:]
 
+    # Under shard_map the cotangent ref reads keep the outer trace's vma
+    # while the recomputed primal outputs get this nested context's set;
+    # jax.vjp rejects the aval mismatch. Align each cotangent to the
+    # primal output aval (no-op outside shard_map) — ops/_vma.py.
+    from neat_tpu.ops._vma import align_cotangent
+
     fn = lambda e, x, d: _field_math(e, x, d, icfg, rcfg, compute_dtype)
-    _, vjp_fn = jax.vjp(fn, eff, x_ref[:], d_ref[:])
-    deff, dx, dd = vjp_fn(
-        (c_sdf, c_grads, c_rgb, c_att)
+    x_in, d_in = x_ref[:], d_ref[:]
+    out_avals = jax.eval_shape(fn, eff, x_in, d_in)
+    cots = tuple(
+        align_cotangent(c, a)
+        for c, a in zip((c_sdf, c_grads, c_rgb, c_att), out_avals)
     )
+    _, vjp_fn = jax.vjp(fn, eff, x_in, d_in)
+    deff, dx, dd = vjp_fn(cots)
     dx_ref[:] = dx.astype(jnp.float32)
     dd_ref[:] = dd.astype(jnp.float32)
 
@@ -290,11 +300,13 @@ def _fwd_pallas(flat_eff, x, d, icfg, rcfg, compute_dtype, interpret):
     n_eff = len(flat_eff)
     pl, tile_spec, full_spec, _ = _pallas_specs(n_eff, interpret)
 
+    from neat_tpu.ops._vma import out_struct
+
     out_shapes = (
-        jax.ShapeDtypeStruct((n_padded, 1), jnp.float32),
-        jax.ShapeDtypeStruct((n_padded, 3), jnp.float32),
-        jax.ShapeDtypeStruct((n_padded, 3), jnp.float32),
-        jax.ShapeDtypeStruct((n_padded, 6), jnp.float32),
+        out_struct((n_padded, 1), jnp.float32, xp, dp),
+        out_struct((n_padded, 3), jnp.float32, xp, dp),
+        out_struct((n_padded, 3), jnp.float32, xp, dp),
+        out_struct((n_padded, 6), jnp.float32, xp, dp),
     )
     in_specs = [tile_spec(3), tile_spec(3)] + [full_spec() for _ in range(n_eff)]
     out_specs = (tile_spec(1), tile_spec(3), tile_spec(3), tile_spec(6))
@@ -329,10 +341,14 @@ def _bwd_pallas(flat_eff, x, d, cots, icfg, rcfg, compute_dtype, interpret):
     n_eff = len(flat_eff)
     pl, tile_spec, full_spec, acc_spec = _pallas_specs(n_eff, interpret)
 
+    from neat_tpu.ops._vma import out_struct
+
+    # Param cotangents are per-shard partials (psum'ed by the caller's
+    # autodiff), so every output varies over the data axes of the inputs.
     out_shapes = [
-        jax.ShapeDtypeStruct((n_padded, 3), jnp.float32),
-        jax.ShapeDtypeStruct((n_padded, 3), jnp.float32),
-    ] + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in flat_eff]
+        out_struct((n_padded, 3), jnp.float32, xp, dp, *cots_p),
+        out_struct((n_padded, 3), jnp.float32, xp, dp, *cots_p),
+    ] + [out_struct(w.shape, jnp.float32, xp, dp, *cots_p) for w in flat_eff]
     out_specs = [tile_spec(3), tile_spec(3)] + [
         acc_spec(w.shape) for w in flat_eff
     ]

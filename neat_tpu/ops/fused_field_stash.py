@@ -502,13 +502,15 @@ def _fwd_stash_pallas(flat_eff, x, d, icfg, rcfg, compute_dtype, interpret):
     _, w_cd = _stash_widths(icfg)
     w_f32 = encoding_dim_39(icfg) + 1 + icfg.feature_vector_size
 
+    from neat_tpu.ops._vma import out_struct
+
     out_shapes = (
-        jax.ShapeDtypeStruct((n_padded, 1), jnp.float32),
-        jax.ShapeDtypeStruct((n_padded, 3), jnp.float32),
-        jax.ShapeDtypeStruct((n_padded, 3), jnp.float32),
-        jax.ShapeDtypeStruct((n_padded, 6), jnp.float32),
-        jax.ShapeDtypeStruct((n_padded, w_cd), compute_dtype),
-        jax.ShapeDtypeStruct((n_padded, w_f32), jnp.float32),
+        out_struct((n_padded, 1), jnp.float32, xp, dp),
+        out_struct((n_padded, 3), jnp.float32, xp, dp),
+        out_struct((n_padded, 3), jnp.float32, xp, dp),
+        out_struct((n_padded, 6), jnp.float32, xp, dp),
+        out_struct((n_padded, w_cd), compute_dtype, xp, dp),
+        out_struct((n_padded, w_f32), jnp.float32, xp, dp),
     )
     in_specs = [tile_spec(3), tile_spec(3)] + [full_spec() for _ in range(n_eff)]
     out_specs = (
@@ -550,10 +552,14 @@ def _bwd_stash_pallas(
     _, w_cd = _stash_widths(icfg)
     w_f32 = encoding_dim_39(icfg) + 1 + icfg.feature_vector_size
 
+    from neat_tpu.ops._vma import out_struct
+
+    # Param cotangents are per-shard partials (psum'ed by the caller's
+    # autodiff), so every output varies over the data axes of the inputs.
     out_shapes = [
-        jax.ShapeDtypeStruct((n_padded, 3), jnp.float32),
-        jax.ShapeDtypeStruct((n_padded, 3), jnp.float32),
-    ] + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in flat_eff]
+        out_struct((n_padded, 3), jnp.float32, xp, dp, *cots_p),
+        out_struct((n_padded, 3), jnp.float32, xp, dp, *cots_p),
+    ] + [out_struct(w.shape, jnp.float32, xp, dp, *cots_p) for w in flat_eff]
     out_specs = [tile_spec(3), tile_spec(3)] + [
         acc_spec(w.shape) for w in flat_eff
     ]

@@ -34,6 +34,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from neat_tpu.ops._vma import match_vma
+
 _INF_DIST = 1e10
 TILE_R = 128
 
@@ -46,7 +48,7 @@ def _shift_down(x, lanes):
     """out[:, i] = x[:, i+1] (0 at the last lane). Circular roll + mask."""
     from jax.experimental.pallas import tpu as pltpu
 
-    rolled = pltpu.roll(x, shift=lanes - 1, axis=1)  # out[i] = x[i+1 mod S]
+    rolled = match_vma(pltpu.roll(x, shift=lanes - 1, axis=1), x)  # out[i] = x[i+1 mod S]
     return jnp.where(_lane_iota(x.shape) < lanes - 1, rolled, 0.0)
 
 
@@ -57,7 +59,7 @@ def _cumsum_incl(x, lanes):
     idx = _lane_iota(x.shape)
     d = 1
     while d < lanes:
-        shifted = pltpu.roll(x, shift=d, axis=1)  # out[i] = x[i-d mod S]
+        shifted = match_vma(pltpu.roll(x, shift=d, axis=1), x)  # out[i] = x[i-d mod S]
         x = x + jnp.where(idx >= d, shifted, 0.0)
         d *= 2
     return x
@@ -68,7 +70,7 @@ def _cumsum_excl(x, lanes):
     from jax.experimental.pallas import tpu as pltpu
 
     incl = _cumsum_incl(x, lanes)
-    rolled = pltpu.roll(incl, shift=1, axis=1)
+    rolled = match_vma(pltpu.roll(incl, shift=1, axis=1), incl)
     return jnp.where(_lane_iota(x.shape) >= 1, rolled, 0.0)
 
 
@@ -213,6 +215,8 @@ def fused_sampler_round(
     """
     from jax.experimental import pallas as pl
 
+    from neat_tpu.ops._vma import out_struct
+
     try:
         from jax.experimental.pallas import tpu as pltpu
 
@@ -257,9 +261,9 @@ def fused_sampler_round(
             spec((TILE_R, lanes), row),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n, lanes), jnp.float32),
-            jax.ShapeDtypeStruct((n, lanes), jnp.float32),
+            out_struct((n, 1), jnp.float32, z_vals, sdf, beta),
+            out_struct((n, lanes), jnp.float32, z_vals, sdf, beta),
+            out_struct((n, lanes), jnp.float32, z_vals, sdf, beta),
         ],
         interpret=interpret,
     )(

@@ -124,9 +124,11 @@ def _fused_sdf_impl(
     in_specs += [spec() for _ in range(18)]
     out_spec = spec((TILE, 1), lambda i: (i, 0))
 
+    from neat_tpu.ops._vma import out_struct
+
     sdf = pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((n_padded, 1), jnp.float32),
+        out_shape=out_struct((n_padded, 1), jnp.float32, emb),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,

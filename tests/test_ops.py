@@ -439,3 +439,104 @@ class TestFusedSamplerRound:
         diff = np.abs(z_x - z_f)
         assert np.median(diff) < 1e-4, np.median(diff)
         assert diff.mean() < 0.02, diff.mean()
+
+
+class TestShardMapVma:
+    """The pallas kernels must type-check under jax.shard_map's vma
+    (varying-mesh-axes) tracking, which is how a TPU pod step wraps them
+    (GSPMD cannot partition an opaque pallas_call, so the pod path uses
+    shard_map; jax's check_vma then requires out_shapes to declare which
+    mesh axes each output varies over — ops/_vma.py).
+
+    These tests trace only (jax.eval_shape): the vma check runs at trace
+    time on every backend, which is exactly what a real pod hits; the hlo
+    interpreter's re-evaluation of kernel bodies under shard_map drops vma
+    from ref reads (upstream jax bug), so interpret-mode *execution* under
+    shard_map is not exercised."""
+
+    def _mesh(self):
+        from neat_tpu.parallel.mesh import make_mesh
+
+        return make_mesh(8)
+
+    def test_fused_round_traces_under_shard_map(self):
+        from jax.sharding import PartitionSpec as P
+
+        from neat_tpu.ops.fused_round import fused_sampler_round
+
+        mesh = self._mesh()
+        R, S = 1024, 128
+        z = jnp.zeros((R, S))
+        sdf = jnp.zeros((R, S))
+        beta = jnp.zeros((R,))
+        beta0 = jnp.asarray(0.11)
+
+        def body(z, sdf, beta):
+            return fused_sampler_round(
+                z, sdf, beta, beta0, eps=0.1, beta_iters=10,
+                add_tiny=1e-6, refine=True,
+            )
+
+        f = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data")),
+            out_specs=(P("data"), P("data"), P("data")),
+        )
+        outs = jax.eval_shape(f, z, sdf, beta)
+        assert outs[0].shape == (R,) and outs[1].shape == (R, S)
+
+    def test_fused_sdf_traces_under_shard_map(self):
+        from jax.sharding import PartitionSpec as P
+
+        from neat_tpu.ops.fused_sdf import fused_sdf_eval
+
+        mesh = self._mesh()
+        cfg = ImplicitNetConfig()
+        params = init_implicit_net(jax.random.PRNGKey(0), cfg)
+        pts = jnp.zeros((1024, 3))
+
+        def body(params, pts):
+            return fused_sdf_eval(params, pts, cfg)
+
+        f = jax.shard_map(
+            body, mesh=mesh, in_specs=(P(), P("data")), out_specs=P("data")
+        )
+        out = jax.eval_shape(f, params, pts)
+        assert out.shape == (1024,)
+
+    @pytest.mark.parametrize("which", ["recompute", "stash"])
+    def test_fused_field_grad_traces_under_shard_map(self, which):
+        from jax.sharding import PartitionSpec as P
+
+        from neat_tpu.ops.fused_field import fused_field_eval
+        from neat_tpu.ops.fused_field_stash import fused_field_eval_stash
+
+        eval_fn = fused_field_eval if which == "recompute" else fused_field_eval_stash
+        t = TestFusedField()
+        params = t._params()
+        mesh = self._mesh()
+        x = jnp.zeros((1024, 3))
+        d = jnp.zeros((1024, 3))
+
+        def body(params, x, d):
+            def loss(params):
+                sdf, grads, rgb, lines = eval_fn(
+                    params, x, d, t.icfg, t.rcfg, compute_dtype="bfloat16"
+                )
+                return (
+                    jnp.mean(sdf**2)
+                    + jnp.mean(grads**2)
+                    + jnp.mean(rgb)
+                    + jnp.mean(jnp.abs(lines))
+                )
+
+            # per-shard partial param grads -> psum, as a pod step would
+            g = jax.grad(loss)(params)
+            return jax.lax.psum(g, "data")
+
+        f = jax.shard_map(
+            body, mesh=mesh, in_specs=(P(), P("data"), P("data")), out_specs=P()
+        )
+        g = jax.eval_shape(f, params, x, d)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert leaves and all(l.shape is not None for l in leaves)
