@@ -48,12 +48,11 @@ def main():
     backend = jax.devices()[0].platform.lower()
     if supports_fused_sdf(cfg.implicit) and backend in ("tpu", "axon"):
         cfg = dataclasses.replace(cfg, use_pallas_sampler=True)
-        # fused refinement rounds (ops/fused_round.py): the sampler's
-        # bisection bookkeeping stays VMEM-resident instead of ~40 small
-        # HBM-round-trip kernels per round
-        cfg = dataclasses.replace(
-            cfg, sampler=dataclasses.replace(cfg.sampler, fused_rounds="on")
-        )
+        # fused refinement rounds (ops/fused_round.py) stay OFF: measured
+        # 3x50-step interleaved on v5e, the VMEM-resident round kernel is a
+        # consistent small loss vs XLA's fused round block (sampler 9.69 vs
+        # 9.40 ms, step 26.60 vs 26.37 ms) — TPU dispatch overhead is not
+        # GPU-launch overhead. Kernel stays available via sampler.fused_rounds.
     # bf16 main-pass field compute: training-parity validated (RESULTS.md
     # 100-epoch A/B: +0.01 dB mean PSNR gap vs f32) and the config the
     # shipped quality run was trained with

@@ -200,21 +200,12 @@ class TrainRunner:
                 model=dataclasses.replace(self.cfg.model, use_pallas_sampler=True),
             )
             self.logger.info("pallas fused-SDF sampler kernel enabled")
-            # fused refinement rounds (ops/fused_round.py) ride the same
-            # gate: TPU backend, canonical architecture, bf16 perf path
-            # (an f32 sampler_compute_dtype conf asks for the strict-
-            # parity XLA sampler). Non-128-multiple ray/sample counts
-            # fall back inside error_bound_z_vals.
-            self.cfg = dataclasses.replace(
-                self.cfg,
-                model=dataclasses.replace(
-                    self.cfg.model,
-                    sampler=dataclasses.replace(
-                        self.cfg.model.sampler, fused_rounds="on"
-                    ),
-                ),
-            )
-            self.logger.info("pallas fused sampler-round kernel enabled")
+            # fused refinement rounds (ops/fused_round.py) are NOT
+            # auto-enabled: measured 3x50-step interleaved on v5e the
+            # VMEM-resident round kernel is a consistent small loss vs
+            # XLA's fused round block (sampler 9.69 vs 9.40 ms, step
+            # 26.60 vs 26.37 ms). Opt in via the conf's
+            # ray_sampler.fused_rounds if a future backend flips that.
 
         # stash-backward fused field main pass: default on TPU for the
         # canonical bf16 configuration (A/B-validated, RESULTS.md round 3);
