@@ -59,6 +59,44 @@ def test_finalize_sweep_smoke(tmp_path, capsys):
         float(cells[5]), float(cells[6])  # parsable P/R scores
 
 
+def test_seed_sweep_smoke(tmp_path, capsys):
+    """The multi-seed vote-gate sweep driver: train 1 epoch on the toy
+    scene, sweep a 2-point vote grid, and check the report records a
+    window (or None), the worst-junction localization margin, and one
+    scored row per vote for the run."""
+    from neat_tpu.train.runner import TrainRunner
+    from tools.seed_sweep import main as sweep_main
+
+    os.makedirs(tmp_path / "toy")
+    generate_scene(str(tmp_path / "toy"), n_views=3, res=(48, 48))
+    conf = tmp_path / "tiny.conf"
+    conf.write_text(TINY_CONF)
+    r = TrainRunner(
+        conf=str(conf), data_root=str(tmp_path),
+        exps_folder=str(tmp_path / "exps"), nepochs=1, max_verts=16,
+    )
+    r.run()
+
+    out = tmp_path / "seeds.md"
+    sweep_main([
+        "--exps", str(tmp_path / "exps"),
+        "--scan", str(tmp_path / "toy"),
+        "--data_root", str(tmp_path),
+        "--votes", "1", "2",
+        "--out", str(out),
+    ])
+    text = out.read_text()
+    assert "perfect window" in text and "localization margin" in text
+    report = json.loads(text.split("```json\n")[1].split("\n```")[0])
+    assert len(report) == 1
+    (entry,) = report.values()
+    assert set(entry) == {"window", "margin", "rows"}
+    assert entry["margin"] > 0
+    assert [row["vote"] for row in entry["rows"]] == [1, 2]
+    for row in entry["rows"]:
+        assert set(row) >= {"nj", "nl", "jp", "jr", "lp", "lr", "jmargin"}
+
+
 @pytest.mark.parametrize("convention", ["bmvs", "scannet"])
 def test_rehearse_scene_smoke(tmp_path, convention):
     """The BMVS/ScanNet rehearsal driver covers its convention-specific

@@ -8,6 +8,12 @@ threshold grid, scores each point with eval_abc, and reports
 
   * per seed: the window of vote thresholds where junction AND line
     P = R = 1.000 (the "perfect window"),
+  * per seed: the worst-junction localization margin — max over GT
+    junctions of (distance to the nearest distilled junction) / the
+    tightest protocol threshold (0.01 x scale). The binary window hides
+    how close a run is to the cliff: a margin of 1.07 means one junction
+    missed the threshold by 7% (no window at any vote), 0.87 means 13%
+    of slack. Reported at the lowest vote (the fullest junction set).
   * the across-seed intersection, in absolute votes and as a fraction of
     the view count (the --vote-ratio units the recipe is stated in).
 
@@ -58,11 +64,26 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.platform)
 
-    from neat_tpu.evaluation.eval_abc import eval_abc
+    import numpy as np
+
+    from neat_tpu.evaluation.eval_abc import eval_abc, load_scale_mat
     from neat_tpu.utils.cache import enable_compilation_cache
     from neat_tpu.wireframe.finalize import wireframe_recon
 
     enable_compilation_cache()
+
+    with open(osp.join(args.scan, "lines.json")) as f:
+        jgt = np.asarray(json.load(f)["junctions"])
+    scale_mat = load_scale_mat(args.scan)
+    margin_thr = 0.01 * scale_mat[0, 0]
+
+    def worst_margin(res):
+        jp = np.asarray(res["junctions3d_initial"])
+        if jp.shape[0] == 0:
+            return float("inf")
+        jps = jp @ scale_mat[:3, :3].T + scale_mat[:3, 3]
+        best = np.linalg.norm(jps[:, None] - jgt[None], axis=-1).min(0)
+        return float(best.max() / margin_thr)
 
     confs = sorted(
         glob.glob(osp.join(args.exps, "*", "*", "runconf.conf"))
@@ -94,6 +115,7 @@ def main(argv=None):
                     jr=float(scores["junction_recall"][0]),
                     lp=float(scores["line_precision"][0]),
                     lr=float(scores["line_recall"][0]),
+                    jmargin=worst_margin(res),
                 )
             )
             print(
@@ -104,11 +126,16 @@ def main(argv=None):
                 flush=True,
             )
         win = perfect_window(rows)
-        report[tag] = {"window": win, "rows": rows}
+        margin = rows[0]["jmargin"]
+        report[tag] = {"window": win, "margin": margin, "rows": rows}
         lines.append(f"## {tag}")
         lines.append("")
         lines.append(
             f"perfect window (votes where J and L P=R=1.000): {win}"
+        )
+        lines.append(
+            f"worst-junction localization margin at vote={lo}: "
+            f"{margin:.3f} (x the 0.01*scale threshold; <1 is inside)"
         )
         lines.append("")
 
@@ -125,6 +152,7 @@ def main(argv=None):
     out_text = "\n".join(lines)
     print(out_text)
     print(json.dumps({"windows": {k: v["window"] for k, v in report.items()},
+                      "margins": {k: v["margin"] for k, v in report.items()},
                       "intersection": inter}))
     if args.out:
         with open(args.out, "w") as f:
