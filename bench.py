@@ -14,7 +14,12 @@ denominator is the reproducible schedule fact — the reference trains
 1024-ray steps on one A100-class GPU, and profiling-free literature for
 VolSDF-style per-step costs puts it at ~2-3k rays/s; we use 2500 rays/s as
 the denominator and report the ratio. This makes vs_baseline > 1.0 mean
-"faster than the estimated reference throughput per chip".
+"faster than the estimated reference throughput per chip". The estimate's
+error is bounded by a MEASURED anchor: the reference's own training step
+and ours, run on the same host CPU at the same configuration, cost within
+15% of each other per ray (tools/measure_reference_ratio.py; BASELINE.md
+"Measured implementation-cost ratio"), so the ratio above is a hardware
+ratio, not an implementation artifact.
 """
 
 import json
