@@ -28,79 +28,32 @@ import time
 import numpy as np
 
 BASELINE_RAYS_PER_SEC = 2500.0
-N_RAYS = 1024
 WARMUP_STEPS = 3
 BENCH_STEPS = 20
 
 
 def main():
     import jax
-    import jax.numpy as jnp
 
     from neat_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
 
-    from neat_tpu.model.neat import NeatConfig, init_neat
-    from neat_tpu.model.loss import LossConfig
-    from neat_tpu.train.step import init_train_state, make_train_step
+    # the canonical benchmark setup (shared with the probe tools so they
+    # always measure THE step this file reports): flagship abc-neat-a
+    # config, pallas sampler + stashed-residual bf16 field path on TPU —
+    # the best measured combination (RESULTS.md round 3; fused refinement
+    # rounds stay off, a measured loss vs XLA's round block on v5e)
+    from neat_tpu.utils.benchscene import (
+        BENCH_N_RAYS as N_RAYS,
+        bench_config,
+        bench_scene,
+        bench_step,
+    )
 
-    import dataclasses
-
-    from neat_tpu.ops.fused_sdf import supports_fused_sdf
-
-    cfg = NeatConfig.for_abc()
-    backend = jax.devices()[0].platform.lower()
-    if supports_fused_sdf(cfg.implicit) and backend in ("tpu", "axon"):
-        cfg = dataclasses.replace(cfg, use_pallas_sampler=True)
-        # fused refinement rounds (ops/fused_round.py) stay OFF: measured
-        # 3x50-step interleaved on v5e, the VMEM-resident round kernel is a
-        # consistent small loss vs XLA's fused round block (sampler 9.69 vs
-        # 9.40 ms, step 26.60 vs 26.37 ms) — TPU dispatch overhead is not
-        # GPU-launch overhead. Kernel stays available via sampler.fused_rounds.
-    # bf16 main-pass field compute: training-parity validated (RESULTS.md
-    # 100-epoch A/B: +0.01 dB mean PSNR gap vs f32) and the config the
-    # shipped quality run was trained with
-    cfg = dataclasses.replace(cfg, field_compute_dtype="bfloat16")
-    # stashed-residual fused field main pass (ops/fused_field_stash.py):
-    # zero forward recompute in the backward + compute-dtype backward
-    # matmuls; A/B-validated at 100 epochs (RESULTS.md round 3)
-    if backend in ("tpu", "axon"):
-        cfg = dataclasses.replace(
-            cfg, use_pallas_field=True, pallas_field_backward="stash"
-        )
-    img_res = (512, 512)
-    hw = img_res[0] * img_res[1]
-    n_views = 4  # keep synthetic scene small; per-step work is view-count free
-    l_max = 40
-
-    rng = np.random.RandomState(0)
-    k = np.eye(4, dtype=np.float32)
-    k[0, 0] = k[1, 1] = 560.0
-    k[0, 2] = k[1, 2] = 256.0
-    poses = np.tile(np.eye(4, dtype=np.float32), (n_views, 1, 1))
-    poses[:, 2, 3] = -2.0
-    scene = {
-        "rgb": rng.rand(n_views, hw, 3).astype(np.float32),
-        "intrinsics": np.tile(k, (n_views, 1, 1)),
-        "pose": poses,
-        "mask": np.ones((n_views, hw), dtype=bool),
-        "labels": rng.randint(0, l_max, (n_views, hw)).astype(np.int32),
-        "uv_proj": rng.rand(n_views, hw, 2).astype(np.float32) * 512,
-        "lines": rng.rand(n_views, l_max, 5).astype(np.float32) * 512,
-        "verts2d": rng.rand(n_views, cfg.max_verts, 2).astype(np.float32) * 512,
-        "verts_mask": np.concatenate(
-            [np.ones((n_views, 32), bool), np.zeros((n_views, cfg.max_verts - 32), bool)],
-            axis=1,
-        ),
-        "support_idx": np.tile(np.arange(hw, dtype=np.int32), (n_views, 1)),
-        "support_count": np.full((n_views,), hw, dtype=np.int32),
-    }
-    scene_dev = {k_: jax.device_put(jnp.asarray(v)) for k_, v in scene.items()}
-
-    params = init_neat(jax.random.PRNGKey(0), cfg)
-    state = init_train_state(params, 5e-4, 0.1, 200000)
-    step = make_train_step(cfg, LossConfig(), 5e-4, 0.1, 200000, N_RAYS, img_res[1])
+    cfg = bench_config()
+    scene_dev = bench_scene(cfg)
+    step, state = bench_step(cfg)
 
     rngs = jax.random.split(jax.random.PRNGKey(1), WARMUP_STEPS + BENCH_STEPS)
     for i in range(WARMUP_STEPS):

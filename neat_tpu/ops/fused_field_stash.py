@@ -121,8 +121,13 @@ def field_fwd_res(
     # saturated-negative units (i ~ 0, sigma' ~ 100 i) costs ~1e-7
     # absolute in f32 — far below the bf16 compute noise floor.
     s = [1.0 - jnp.exp(-100.0 * ip.astype(el)) for ip in i_post]
+    # ones-seeded sweep: the min-clamp multiplier is applied ONCE, below at
+    # the grads assembly (m_raw * g_mlp + m_sph * g_sphere) — seeding with
+    # m_raw here would square it, which differs from jax.vjp's balanced-eq
+    # convention at exact clamp ties (0.25 vs 0.5 on the mlp branch); the
+    # stashed backward (field_bwd_stashed) assumes the single-multiplier form
     v = jnp.concatenate(
-        [m_raw, jnp.zeros_like(feats)], axis=-1
+        [jnp.ones_like(sdf_raw), jnp.zeros_like(feats)], axis=-1
     )  # cot on z8, f32
     cot_e = jnp.zeros_like(e)
     for l in range(N_IMPLICIT_LAYERS - 1, -1, -1):
@@ -489,10 +494,11 @@ def _bwd_stash_kernel(icfg, rcfg, compute_dtype, x_ref, d_ref, *refs):
 
 
 def _fwd_stash_pallas(flat_eff, x, d, icfg, rcfg, compute_dtype, interpret):
-    if interpret:
-        out, res = field_fwd_res(flat_eff, x, d, icfg, rcfg, compute_dtype)
-        stash_cd, stash_f32 = _pack_res(res, icfg)
-        return (*out, stash_cd, stash_f32)
+    # unlike the backward (whose revisited-block grid accumulation the
+    # interpreter cannot order — see _bwd_stash_pallas), the forward is
+    # pure per-tile, so interpret mode runs the REAL pallas_call wiring:
+    # the 6-output spec ordering, stash-width tiles, and padding/slicing
+    # get off-TPU coverage instead of a plain-jnp shortcut
     n = x.shape[0]
     n_padded = -(-n // TILE) * TILE
     xp = _pad_to_tile(x, n_padded, pad_value=1.0)
@@ -534,6 +540,12 @@ def _bwd_stash_pallas(
     compute_dtype, interpret,
 ):
     if interpret:
+        # the compiled kernel accumulates parameter cotangents across grid
+        # steps in a revisited VMEM block (valid: TPU grid steps run
+        # sequentially); the interpreter gives no such ordering guarantee
+        # (same blocker as fused_field._bwd_pallas), so interpret mode runs
+        # the identical stashed math directly — the accumulation wiring is
+        # validated on hardware vs the XLA path
         res = _unpack_res(scd, sf32, rgb, grads, icfg)
         return field_bwd_stashed(
             flat_eff, x, d, res, cots, icfg, rcfg, compute_dtype
@@ -593,9 +605,15 @@ def _bwd_stash_pallas(
 
 @_partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _fused_op_stash(flat_eff, x, d, icfg, rcfg, compute_dtype_name, interpret):
+    # undifferentiated primal: custom_vjp only calls this when the op is NOT
+    # being differentiated (render previews, eval/inference chunks), where
+    # residuals would be written to HBM (~9.3 KB/point) only to be dropped —
+    # pallas_call outputs cannot be DCE'd — so dispatch to the stash-free
+    # forward kernel; the fwd rule below runs the stashing kernel
+    from .fused_field import _fwd_pallas
+
     cd = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
-    outs = _fwd_stash_pallas(flat_eff, x, d, icfg, rcfg, cd, interpret)
-    return outs[:4]
+    return _fwd_pallas(flat_eff, x, d, icfg, rcfg, cd, interpret)
 
 
 def _fused_op_stash_fwd(

@@ -275,6 +275,10 @@ def error_bound_z_vals(
         cfg.fused_rounds != "off"
         and n_rays % 128 == 0
         and cfg.n_samples_eval % 128 == 0
+        # the round kernel hard-codes the bisection line search; honoring a
+        # conf that asks for the grid beta-search means keeping the XLA path
+        # (silently swapping the search would corrupt grid-vs-bisect A/Bs)
+        and cfg.beta_search == "bisect"
     )
 
     weights = None

@@ -143,9 +143,25 @@ class TrainRunner:
                 if osp.isdir(osp.join(self.expdir, d))
             )
             old_timestamp = stamps[-1] if stamps else None
-            is_continue = old_timestamp is not None
         elif is_continue:
             old_timestamp = timestamp
+        # multi-host: the resume decision is derived from the local
+        # filesystem, so every process must agree on it — otherwise a worker
+        # whose disk lacks the experiment dir silently trains from scratch
+        # (step=0) while process 0 resumes at step=K, desynchronizing the
+        # fold_in(rng, step) stream and the epoch trip counts across the
+        # SPMD job. Process 0's decision is broadcast; workers that then
+        # cannot read the agreed checkpoint fail loudly below (resume needs
+        # exps_folder on a filesystem all hosts share).
+        if is_continue and jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            buf = np.zeros(64, np.uint8)
+            payload = (old_timestamp or "").encode()
+            buf[: len(payload)] = np.frombuffer(payload, np.uint8)
+            buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+            old_timestamp = bytes(buf[buf != 0]).decode() or None
+        is_continue = old_timestamp is not None
 
         self.timestamp = "{:%Y_%m_%d_%H_%M_%S}".format(datetime.now())
         self.rundir = osp.join(self.expdir, self.timestamp)
@@ -246,15 +262,23 @@ class TrainRunner:
         self.start_epoch = 0
         if is_continue and old_timestamp is not None:
             old_ckpt = osp.join(self.expdir, old_timestamp, "checkpoints")
+            if not osp.isdir(old_ckpt):
+                raise FileNotFoundError(
+                    f"process {jax.process_index()}: resume checkpoint dir "
+                    f"{old_ckpt} is unreadable on this host; multi-host "
+                    "resume requires exps_folder on a shared filesystem"
+                )
             self.state, self.start_epoch = load_checkpoint(old_ckpt, checkpoint)
             self.logger.info(
                 f"Resumed epoch {self.start_epoch} from {old_ckpt} "
                 "(params + optimizer + schedule restored exactly)"
             )
 
-        # optional TensorBoard scalars (reference --use_tb, volsdf_train.py:237-242)
+        # optional TensorBoard scalars (reference --use_tb, volsdf_train.py:237-242);
+        # process 0 owns the experiment directory — workers must not recreate
+        # their own skewed-timestamp rundirs just to host an event stream
         self.tb_writer = None
-        if use_tb:
+        if use_tb and self.is_main:
             try:
                 from torch.utils.tensorboard import SummaryWriter
 

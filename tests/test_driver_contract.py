@@ -22,7 +22,9 @@ class TestDriverContract:
     def test_bench_importable(self):
         bench = _load("bench", ROOT / "bench.py")
         assert callable(bench.main)
-        assert bench.N_RAYS == 1024
+        from neat_tpu.utils.benchscene import BENCH_N_RAYS
+
+        assert BENCH_N_RAYS == 1024
 
     @pytest.mark.slow
     def test_graft_entry(self):

@@ -401,6 +401,49 @@ class TestMultiHost:
         assert len(ckpts) == 1, logs[0][-4000:]
         assert not os.path.exists(exps[1])
 
+        def spawn_resume(i, exps_folder, port):
+            return _spawn_worker(
+                [
+                    "-m", "neat_tpu.train.runner",
+                    "--conf", str(conf),
+                    "--data_root", str(tmp_path),
+                    "--exps_folder", exps_folder,
+                    "--nepoch", "3",
+                    "--is_continue",
+                    "--platform", "cpu",
+                    "--mesh",
+                    "--distributed",
+                    "--coordinator", f"localhost:{port}",
+                    "--num_processes", "2",
+                    "--process_id", str(i),
+                ]
+            )
+
+        # resume on a SHARED exps_folder: the timestamp decision is
+        # broadcast from process 0 and both processes restore step/epoch
+        # exactly (the SPMD same-value contract for the fold_in rng stream)
+        port = _free_port()
+        procs = [spawn_resume(i, exps[0], port) for i in range(2)]
+        logs = [p.communicate(timeout=600)[0] for p in procs]
+        for p, log in zip(procs, logs):
+            assert p.returncode == 0, log[-4000:]
+        assert "Resumed epoch 2" in logs[0], logs[0][-4000:]
+
+        # resume with SPLIT filesystems (worker's exps_folder is empty):
+        # the worker must adopt process 0's broadcast timestamp and fail
+        # loudly — silently training from scratch at step=0 while process 0
+        # resumes at step=K would desynchronize the SPMD job
+        port = _free_port()
+        p0 = spawn_resume(0, exps[0], port)
+        p1 = spawn_resume(1, exps[1], port)
+        try:
+            log1 = p1.communicate(timeout=600)[0]
+        finally:
+            p0.kill()
+            p0.communicate()
+        assert p1.returncode != 0, log1[-4000:]
+        assert "shared filesystem" in log1, log1[-4000:]
+
 
 def test_dual_batch_uniform_pass_uses_same_view():
     """Reference neat_wfr_dual samples uv0 and uv from the SAME view

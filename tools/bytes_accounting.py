@@ -121,7 +121,8 @@ def build_step(
     beta_search: str = "bisect",
     fused_rounds: str = "off",
 ):
-    """The exact bench.py step configuration.
+    """The exact bench.py step configuration (neat_tpu.utils.benchscene is
+    the shared single source of truth for it).
 
     field: 'xla' (unfused field main pass), 'recompute' (pallas fused
     field, backward recomputes the forward in-kernel), or 'stash'
@@ -129,65 +130,14 @@ def build_step(
     beta_search: sampler beta line-search ('bisect' = reference 10-step
     bisection, 'grid' = one batched log-spaced candidate pass).
     """
-    import dataclasses
+    from neat_tpu.utils.benchscene import bench_config, bench_scene, bench_step
 
-    import jax
-    import jax.numpy as jnp
-
-    from neat_tpu.model.loss import LossConfig
-    from neat_tpu.model.neat import NeatConfig, init_neat
-    from neat_tpu.ops.fused_sdf import supports_fused_sdf
-    from neat_tpu.train.step import init_train_state, make_train_step
-
-    cfg = NeatConfig.for_abc()
-    backend = jax.devices()[0].platform.lower()
-    if supports_fused_sdf(cfg.implicit) and backend in ("tpu", "axon"):
-        cfg = dataclasses.replace(cfg, use_pallas_sampler=True)
-    cfg = dataclasses.replace(cfg, field_compute_dtype=dtype)
-    if field != "xla":
-        cfg = dataclasses.replace(
-            cfg, use_pallas_field=True, pallas_field_backward=field
-        )
-    if beta_search != "bisect":
-        cfg = dataclasses.replace(
-            cfg, sampler=dataclasses.replace(cfg.sampler, beta_search=beta_search)
-        )
-    if fused_rounds != "off":
-        cfg = dataclasses.replace(
-            cfg, sampler=dataclasses.replace(cfg.sampler, fused_rounds=fused_rounds)
-        )
-    img_res = (512, 512)
-    hw = img_res[0] * img_res[1]
-    n_views = 4
-    l_max = 40
-    rng = np.random.RandomState(0)
-    k = np.eye(4, dtype=np.float32)
-    k[0, 0] = k[1, 1] = 560.0
-    k[0, 2] = k[1, 2] = 256.0
-    poses = np.tile(np.eye(4, dtype=np.float32), (n_views, 1, 1))
-    poses[:, 2, 3] = -2.0
-    scene = {
-        "rgb": rng.rand(n_views, hw, 3).astype(np.float32),
-        "intrinsics": np.tile(k, (n_views, 1, 1)),
-        "pose": poses,
-        "mask": np.ones((n_views, hw), dtype=bool),
-        "labels": rng.randint(0, l_max, (n_views, hw)).astype(np.int32),
-        "uv_proj": rng.rand(n_views, hw, 2).astype(np.float32) * 512,
-        "lines": rng.rand(n_views, l_max, 5).astype(np.float32) * 512,
-        "verts2d": rng.rand(n_views, cfg.max_verts, 2).astype(np.float32) * 512,
-        "verts_mask": np.concatenate(
-            [np.ones((n_views, 32), bool),
-             np.zeros((n_views, cfg.max_verts - 32), bool)], axis=1,
-        ),
-        "support_idx": np.tile(np.arange(hw, dtype=np.int32), (n_views, 1)),
-        "support_count": np.full((n_views,), hw, dtype=np.int32),
-    }
-    scene_dev = {k_: jax.device_put(jnp.asarray(v)) for k_, v in scene.items()}
-    params = init_neat(jax.random.PRNGKey(0), cfg)
-    state = init_train_state(params, 5e-4, 0.1, 200000)
-    step = make_train_step(
-        cfg, LossConfig(), 5e-4, 0.1, 200000, 1024, img_res[1], donate=False
+    cfg = bench_config(
+        dtype=dtype, field=field, beta_search=beta_search,
+        fused_rounds=fused_rounds,
     )
+    scene_dev = bench_scene(cfg)
+    step, state = bench_step(cfg, donate=False)
     return step, state, scene_dev
 
 

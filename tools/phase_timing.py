@@ -82,36 +82,15 @@ def main(argv=None):
     t_step = time_fn(step, (state, scene_dev, rng), args.steps, fetch_step)
 
     # forward-only (loss value, no grad) at the same config
-    import dataclasses
-
     from neat_tpu.model.loss import LossConfig, neat_loss
-    from neat_tpu.model.neat import NeatConfig, neat_forward
-    from neat_tpu.ops.fused_sdf import supports_fused_sdf
+    from neat_tpu.model.neat import neat_forward
     from neat_tpu.train.step import sample_batch
+    from neat_tpu.utils.benchscene import bench_config
 
-    cfg = NeatConfig.for_abc()
-    backend = jax.devices()[0].platform.lower()
-    if supports_fused_sdf(cfg.implicit) and backend in ("tpu", "axon"):
-        cfg = dataclasses.replace(cfg, use_pallas_sampler=True)
-    cfg = dataclasses.replace(cfg, field_compute_dtype=args.dtype)
-    if args.field != "xla":
-        cfg = dataclasses.replace(
-            cfg, use_pallas_field=True, pallas_field_backward=args.field
-        )
-    if args.beta_search != "bisect":
-        cfg = dataclasses.replace(
-            cfg,
-            sampler=dataclasses.replace(
-                cfg.sampler, beta_search=args.beta_search
-            ),
-        )
-    if args.fused_rounds != "off":
-        cfg = dataclasses.replace(
-            cfg,
-            sampler=dataclasses.replace(
-                cfg.sampler, fused_rounds=args.fused_rounds
-            ),
-        )
+    cfg = bench_config(
+        dtype=args.dtype, field=args.field, beta_search=args.beta_search,
+        fused_rounds=args.fused_rounds,
+    )
 
     @jax.jit
     def fwd(params, scene, rng):
