@@ -54,6 +54,12 @@ def main(argv=None):
     parser.add_argument("--votes", type=int, nargs=2, default=[1, 60],
                         metavar=("LO", "HI"))
     parser.add_argument("--checkpoint", default="latest")
+    parser.add_argument("--merge-eps", type=float, default=0.0,
+                        help="junction_merge_eps passed to finalize: vote-"
+                        "weighted merge of voted junctions closer than this "
+                        "(normalized units). Duplicates SPLIT votes, so two "
+                        "half-vote copies of one junction survive every "
+                        "vote gate; 0.02 = the endpoint-voting match scale")
     parser.add_argument("--out", default=None)
     parser.add_argument("--platform", default=None,
                         choices=["cpu", "tpu", "axon"])
@@ -102,6 +108,7 @@ def main(argv=None):
                 conf=conf,
                 checkpoint=args.checkpoint,
                 vote_threshold=vote,
+                junction_merge_eps=args.merge_eps,
                 data_root=args.data_root,
                 verbose=False,
             )
