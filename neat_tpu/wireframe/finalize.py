@@ -572,10 +572,14 @@ def wireframe_recon(
 
     # two-level caching: the expensive per-view distillation is keyed by
     # its own knobs only, so assembly-threshold sweeps (vote/merge/edge
-    # gates) reuse it; the assembled outputs carry the full-knob hash
+    # gates) reuse it; the assembled outputs carry the full-knob hash.
+    # The conf key is realpath'ed so addressing the same rundir through a
+    # symlink tree (e.g. a sweep's curated exps layout) hits the cache
+    # instead of silently re-distilling.
+    conf_key = osp.realpath(conf)
     distill_sha = make_hash_sha256(
         {
-            "conf": conf,
+            "conf": conf_key,
             "checkpoint": checkpoint,
             # the RESOLVED epoch: 'latest' changes meaning as training
             # continues; without it a re-run would silently reuse the old
@@ -624,7 +628,7 @@ def wireframe_recon(
 
     sha256 = make_hash_sha256(
         {
-            "conf": conf,
+            "conf": conf_key,
             "checkpoint": checkpoint,
             "distance": distance,
             # distillation knob: runs differing only in it must not share
