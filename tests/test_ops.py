@@ -281,6 +281,142 @@ class TestStashedBackward:
                 assert err < 1e-11, (i, err)
 
 
+class TestStashClampTie:
+    """At an EXACT sdf_raw == sphere clamp tie, the hand-written forward
+    must follow jax.vjp's balanced-eq convention: the spatial gradient is
+    0.5*grad(mlp) + 0.5*grad(sphere). The ones-seeded sweep applies the
+    min-clamp multiplier once; a m_raw-seeded sweep would square it
+    (0.25 on the mlp branch) — a regression invisible to the random-point
+    parity tests (ties are measure-zero) and to the f64 exact-adjoint
+    test (which compares the backward against the forward's OWN vjp)."""
+
+    @pytest.mark.slow
+    def test_tie_matches_balanced_eq(self):
+        import dataclasses
+
+        from neat_tpu.ops.fused_field import N_IMPLICIT_LAYERS, _flatten_eff
+        from neat_tpu.ops.fused_field_stash import field_fwd_res
+        from neat_tpu.fields.mlp import (
+            RenderNetConfig,
+            init_attraction_net,
+            init_implicit_net,
+            init_render_net,
+        )
+
+        rcfg = RenderNetConfig(multires_view=4)
+        acfg = RenderNetConfig(d_out=6, multires_view=0)
+        with jax.enable_x64(True):
+            icfg = ImplicitNetConfig()
+            k = jax.random.PRNGKey(11)
+            params = {
+                "implicit": init_implicit_net(jax.random.fold_in(k, 1), icfg),
+                "rendering": init_render_net(jax.random.fold_in(k, 2), rcfg),
+                "attraction": init_attraction_net(jax.random.fold_in(k, 3), acfg),
+            }
+            to64 = lambda t: jax.tree_util.tree_map(
+                lambda a: jnp.asarray(np.asarray(a), jnp.float64), t
+            )
+            params = to64(params)
+            x = jnp.asarray([[0.5, 0.25, -0.125]], jnp.float64)  # exact norm ops
+            d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float64)
+            flat_eff = _flatten_eff(params)
+            cd = jnp.float64
+
+            nosphere = dataclasses.replace(icfg, sdf_bounding_sphere=0.0)
+
+            # drive the final-layer bias until the STASH forward's own
+            # sdf_raw == sphere bitwise (sdf_raw is affine in the bias, so
+            # a couple of corrections converge); pinning against another
+            # implementation is impossible — algebraically-equivalent
+            # forwards differ in the last bits
+            def sdf_raw_of(fe):
+                return float(
+                    field_fwd_res(fe, x, d, nosphere, rcfg, cd)[0][0][0, 0]
+                )
+
+            sphere_val = float(
+                icfg.sphere_scale
+                * (icfg.sdf_bounding_sphere - jnp.linalg.norm(x[0]))
+            )
+            last_b = 2 * (N_IMPLICIT_LAYERS - 1) + 1  # final implicit bias slot
+            fe = list(flat_eff)
+            for _ in range(8):
+                gap = sphere_val - sdf_raw_of(tuple(fe))
+                if gap == 0.0:
+                    break
+                fe[last_b] = fe[last_b].at[0, 0].add(gap)
+            fe = tuple(fe)
+            assert sdf_raw_of(fe) == sphere_val, "could not pin an exact tie"
+
+            # analytic balanced-eq expectation at the tie:
+            #   grads == 0.5 * grad(sdf_raw) + 0.5 * grad(sphere)
+            # with grad(sdf_raw) = the clamp-free stash gradient and
+            # grad(sphere) = -scale * x/|x| in closed form
+            (_, g_mlp, _, _), _ = field_fwd_res(fe, x, d, nosphere, rcfg, cd)
+            g_sphere = -icfg.sphere_scale * np.asarray(x) / float(
+                jnp.linalg.norm(x[0])
+            )
+            out, _ = field_fwd_res(fe, x, d, icfg, rcfg, cd)
+            sdf, grads = out[0], out[1]
+            assert float(sdf[0, 0]) == sphere_val
+            np.testing.assert_allclose(
+                np.asarray(grads),
+                0.5 * np.asarray(g_mlp) + 0.5 * g_sphere,
+                rtol=1e-11, atol=1e-11,
+            )
+            # sanity that the convention matches jax's minimum at a tie:
+            # _balanced is jax's _balanced_eq (0.5 at equality)
+            from neat_tpu.ops.fused_field_stash import _balanced
+
+            half = _balanced(jnp.float64(1.0), jnp.float64(1.0))
+            assert float(half) == 0.5
+
+
+class TestStashPrimalDispatch:
+    """The custom-vjp op's undifferentiated primal dispatches to the
+    stash-free forward kernel (non-grad forwards must not stream
+    residuals to HBM); its outputs must agree with the fwd-rule path that
+    the differentiated call takes."""
+
+    @pytest.mark.slow
+    def test_primal_matches_fwd_rule(self):
+        from neat_tpu.fields.mlp import (
+            RenderNetConfig,
+            init_attraction_net,
+            init_implicit_net,
+            init_render_net,
+        )
+        from neat_tpu.ops.fused_field_stash import fused_field_eval_stash
+
+        icfg = ImplicitNetConfig()
+        rcfg = RenderNetConfig(multires_view=4)
+        acfg = RenderNetConfig(d_out=6, multires_view=0)
+        k = jax.random.PRNGKey(7)
+        params = {
+            "implicit": init_implicit_net(jax.random.fold_in(k, 1), icfg),
+            "rendering": init_render_net(jax.random.fold_in(k, 2), rcfg),
+            "attraction": init_attraction_net(jax.random.fold_in(k, 3), acfg),
+        }
+        x = jax.random.uniform(jax.random.fold_in(k, 4), (130, 3), minval=-1, maxval=1)
+        d = jax.random.normal(jax.random.fold_in(k, 5), (130, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+        def run(pts):
+            return fused_field_eval_stash(
+                params, pts, d, icfg, rcfg, compute_dtype="float32",
+                interpret=True,
+            )
+
+        primal = run(x)  # undifferentiated: stash-free kernel
+        # differentiated: custom_vjp fwd rule (stashing kernel)
+        fwd_rule, _ = jax.vjp(lambda pts: run(pts)[0], x)
+        np.testing.assert_allclose(
+            np.asarray(fwd_rule), np.asarray(primal[0]), rtol=1e-5, atol=1e-6
+        )
+        for a in primal:
+            assert np.all(np.isfinite(np.asarray(a)))
+
+
 class TestStashedFieldEval:
     """fused_field_eval_stash (the custom-vjp op wired for the pallas
     stash kernels) vs the XLA path, interpret mode, f32 — same contract
