@@ -153,17 +153,25 @@ def analyze_detectability(
         in_frame = (
             (j2d[:, 0] >= 0) & (j2d[:, 0] < w) & (j2d[:, 1] >= 0) & (j2d[:, 1] < h)
         )
+        # junction visibility tolerance 1e-4 = the reference's
+        # ray_casting_check default (abc-analysis.py:44); endpoints below
+        # use the looser 0.1 it passes explicitly (:139-140)
         vis = in_frame & _cast_check(
-            j2d, junctions, scene.intrinsics[view], scene.pose[view], mesh, tol=1e-2
+            j2d, junctions, scene.intrinsics[view], scene.pose[view], mesh, tol=1e-4
         )
 
         det_j = scene.verts2d[view][scene.verts_mask[view]]
+        j_hits_this_view = 0
         if det_j.shape[0] and vis.sum():
             cost = np.linalg.norm(det_j[:, None] - j2d[None], axis=-1)
             ri, ci = linear_sum_assignment(cost)
             hit = (cost[ri, ci] < match_threshold) & vis[ci]
             junction_hits[ci[hit]] += 1
-            j_rates.append(hit.sum() / max(vis.sum(), 1))
+            j_hits_this_view = int(hit.sum())
+        # every view contributes a rate — the reference divides the summed
+        # rates by len(eval_dataloader) (abc-analysis.py:143-144,177-178),
+        # counting detection-less / all-occluded views as 0
+        j_rates.append(j_hits_this_view / max(int(vis.sum()), 1))
 
         l2d = np.asarray(
             project2d(
@@ -185,6 +193,7 @@ def analyze_detectability(
         nl = scene.n_lines[view]
         det_l = scene.lines[view][:nl]
         det_l = det_l[det_l[:, 4] > score_threshold][:, :4]
+        l_hits_this_view = 0
         if det_l.shape[0] and lvis.sum():
             d1 = np.linalg.norm(det_l[:, None, :2] - l2d[None, :, :2], axis=-1) + np.linalg.norm(
                 det_l[:, None, 2:] - l2d[None, :, 2:], axis=-1
@@ -196,7 +205,8 @@ def analyze_detectability(
             ri, ci = linear_sum_assignment(ldist)
             hit = (ldist[ri, ci] < match_threshold) & lvis[ci]
             line_hits[ci[hit]] += 1
-            l_rates.append(hit.sum() / max(lvis.sum(), 1))
+            l_hits_this_view = int(hit.sum())
+        l_rates.append(l_hits_this_view / max(int(lvis.sum()), 1))
 
         if verbose and view % 20 == 0:
             print(f"view {view}: junctions hit so far {(junction_hits > 0).sum()}"
@@ -249,9 +259,12 @@ def main(argv=None):
     )
     # default to cwd, not the scan dir — data trees may be read-only
     out = args.out or f"wireframe_detectability_{osp.basename(args.scan.rstrip('/'))}.npz"
+    # lines3d = the FULL GT line set, matching the reference artifact
+    # (abc-analysis.py:182 filters with hit >= 0, i.e. keeps everything);
+    # consumers slice by line_hits themselves
     np.savez(
         out,
-        lines3d=res["lines3d"][res["line_hits"] > 0],
+        lines3d=res["lines3d"],
         junction_hits=res["junction_hits"],
         line_hits=res["line_hits"],
     )

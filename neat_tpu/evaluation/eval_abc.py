@@ -21,10 +21,16 @@ THRESHOLDS = (0.01, 0.02, 0.05)
 
 def load_scale_mat(scan_dir: str) -> np.ndarray:
     """offset_scale.txt -> the 4x4 scale matrix of the reference eval
-    (eval-abc.py:31-37). When the file is missing (in-repo toy scene), the
-    transform is reconstructed from the GT bounding box the same way the
-    rendering script normalized the mesh (data/abc/00075213/render.py:8-18:
-    x_norm = x/scale - 0.5 with scale = max bbox extent)."""
+    (eval-abc.py:31-37; the reference hard-requires the file). When it is
+    missing (the shipped toy scene has none), the transform is
+    reconstructed from the GT bounding box under the BBOX-CENTERED
+    convention: x_gt = x_norm * max_extent + bbox_center. Note this is
+    NOT the x/scale - 0.5 mapping in the scratch render.py (:8-18) —
+    that script's convention would place this scene's junctions
+    off-center, while the shipped cameras.npz/images are centered; the
+    bbox-centered inverse is validated end-to-end by exact GT recovery
+    (P = R = 1.000) from trained runs and by the shipped debug renders
+    (tests/test_debug_artifacts.py)."""
     path = osp.join(scan_dir, "offset_scale.txt")
     if osp.exists(path):
         with open(path) as f:

@@ -18,9 +18,12 @@ import numpy as np
 
 def downsample_points(points: np.ndarray, radius: float = 0.2, seed: int = 0) -> np.ndarray:
     """Greedy radius downsample after a random shuffle (reference
-    eval-dtu.py:80-94)."""
+    eval-dtu.py:80-94). radius <= 0 is a no-op (the junction/BMVS line
+    protocols score ALL points — eval-wfr-dtu.py:46, eval-lsr-bmvs.py:88)."""
     from scipy.spatial import cKDTree
 
+    if radius <= 0:
+        return points
     rng = np.random.default_rng(seed)
     pts = points.copy()
     rng.shuffle(pts, axis=0)
@@ -96,17 +99,20 @@ def eval_dtu_mesh(
     mesh_path: str,
     dataset_dir: str,
     scan: int,
-    n_sample_points: int = 1000000,
+    sample_density: float = 0.2,
     **kwargs,
 ) -> Dict[str, float]:
-    """Mesh flavor: sample the predicted mesh surface, load the official
+    """Mesh flavor: convert the predicted mesh to points the reference way
+    (deterministic per-triangle grid at ``sample_density`` spacing PLUS
+    all vertices — eval-dtu.py:46-71; random area-weighted sampling
+    under-densifies large meshes and shifts COMP), load the official
     ObsMask / Plane mats and the GT STL point cloud, then score."""
     from scipy.io import loadmat
-    from ..viz.mesh import load_ply, sample_mesh_surface
+    from ..viz.mesh import grid_sample_mesh, load_ply
 
     verts, faces = load_ply(mesh_path)
     if len(faces):
-        data_pcd = sample_mesh_surface(verts, faces, n_sample_points)
+        data_pcd = grid_sample_mesh(verts, faces, sample_density)
     else:
         data_pcd = verts
 

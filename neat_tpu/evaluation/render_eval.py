@@ -133,11 +133,19 @@ def export_scene_mesh(
     resolution: int = 100,
     grid_boundary=(-1.5, 1.5),
     chunk: int = 65536,
+    scale_mat=None,
+    keep_largest_component: bool = False,
 ) -> None:
     """Marching surface of the SDF -> PLY (reference plots.py:140-218).
     ``chunk`` is the grid-evaluation batch; raise it for high resolutions
     to amortize per-dispatch latency (512^3 = 2048 dispatches at the
-    default)."""
+    default).
+
+    The DTU/BMVS eval protocol exports in WORLD coordinates with only the
+    biggest connected component (reference eval.py:152-158:
+    mesh.apply_transform(scale_mat) then split + areas.argmax) — pass the
+    scene's scale_mat and keep_largest_component=True to match; the
+    defaults keep the raw normalized-coordinate surface (debug/ABC use)."""
 
     @jax.jit
     def sdf_fn(pts):
@@ -149,6 +157,13 @@ def export_scene_mesh(
         grid_boundary=grid_boundary,
         chunk=chunk,
     )
+    if scale_mat is not None:
+        sm = np.asarray(scale_mat)
+        verts = verts @ sm[:3, :3].T + sm[:3, 3]
+    if keep_largest_component:
+        from ..viz.mesh import largest_component
+
+        verts, faces = largest_component(verts, faces)
     save_ply(path, verts, faces)
 
 
@@ -187,12 +202,19 @@ def main(argv=None):
         mesh=mesh,
     )
     print(f"PSNR {stats['psnr_mean']:.3f} +- {stats['psnr_std']:.3f}")
+    # DTU/BMVS scenes (non-identity scale_mat) export in world coordinates
+    # with only the biggest component, the frame eval_dtu_mesh scores in
+    # (reference eval.py:152-158); ABC/blender scenes keep normalized coords
+    sm = np.asarray(scene.scale_mat)
+    is_world = not np.allclose(sm, np.eye(4))
     export_scene_mesh(
         state.params,
         cfg.model,
         osp.join(out_dir, f"surface_{epoch}.ply"),
         resolution=args.resolution,
         grid_boundary=cfg.grid_boundary,
+        scale_mat=sm if is_world else None,
+        keep_largest_component=is_world,
     )
 
 

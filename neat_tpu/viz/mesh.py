@@ -196,6 +196,92 @@ def sdf_to_mesh(
     return marching_tetrahedra(grid, (lo, lo, lo), (spacing,) * 3)
 
 
+def grid_sample_mesh(
+    verts: np.ndarray, faces: np.ndarray, density: float = 0.2
+) -> np.ndarray:
+    """The reference DTU mesh-to-point-cloud protocol (eval-dtu.py:46-71):
+    each triangle is sampled on a deterministic barycentric grid whose
+    step targets ``density`` spacing (n_i = floor(l_i / thr) with
+    thr = density * sqrt(l1 l2 / 2A)), and ALL mesh vertices are
+    concatenated. Deterministic and density-uniform, unlike area-weighted
+    random sampling whose spacing drifts with total surface area.
+
+    Vectorized by grouping triangles with identical (n1, n2) — they share
+    the same barycentric pattern."""
+    if len(faces) == 0:
+        return verts
+    tri = verts[faces]  # (F, 3, 3)
+    v1 = tri[:, 1] - tri[:, 0]
+    v2 = tri[:, 2] - tri[:, 0]
+    l1 = np.linalg.norm(v1, axis=-1)
+    l2 = np.linalg.norm(v2, axis=-1)
+    area2 = np.linalg.norm(np.cross(v1, v2), axis=-1)
+    nz = area2 > 0
+    if not nz.any():
+        return verts
+    v1, v2, t0, l1, l2, area2 = v1[nz], v2[nz], tri[nz, 0], l1[nz], l2[nz], area2[nz]
+    thr = density * np.sqrt(l1 * l2 / area2)
+    n1 = np.floor(l1 / thr).astype(np.int64)
+    n2 = np.floor(l2 / thr).astype(np.int64)
+
+    chunks = [verts]
+    pair_keys = n1 * (n2.max() + 1) + n2
+    for key in np.unique(pair_keys):
+        sel = pair_keys == key
+        a, b = int(n1[sel][0]), int(n2[sel][0])
+        # barycentric pattern for (a, b): cell centers with u + v < 1
+        # (reference sample_single_tri, eval-dtu.py:26-35)
+        c = np.mgrid[: a + 1, : b + 1].astype(np.float64) + 0.5
+        c[0] /= max(a, 1e-7)
+        c[1] /= max(b, 1e-7)
+        k = np.transpose(c, (1, 2, 0)).reshape(-1, 2)
+        k = k[k.sum(axis=-1) < 1]
+        if len(k) == 0:
+            continue
+        chunks.append(
+            (
+                v1[sel][:, None, :] * k[None, :, :1]
+                + v2[sel][:, None, :] * k[None, :, 1:]
+                + t0[sel][:, None, :]
+            ).reshape(-1, 3)
+        )
+    return np.concatenate(chunks, axis=0)
+
+
+def largest_component(
+    verts: np.ndarray, faces: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Keep the connected component with the largest surface AREA
+    (reference eval.py:155-158: trimesh split + areas.argmax). Vertices
+    are connected when they share a face; unreferenced vertices drop."""
+    if len(faces) == 0:
+        return verts, faces
+    parent = np.arange(len(verts))
+
+    def find(i):
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:
+            parent[i], i = root, parent[i]
+        return root
+
+    for a, b, c in faces:
+        ra, rb, rc = find(a), find(b), find(c)
+        parent[rb] = ra
+        parent[rc] = ra
+    roots = np.asarray([find(i) for i in faces[:, 0]])
+
+    v0, v1, v2 = (verts[faces[:, k]] for k in range(3))
+    area2 = np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1)
+    best = max(set(roots.tolist()), key=lambda r: area2[roots == r].sum())
+    keep_faces = faces[roots == best]
+    used = np.unique(keep_faces)
+    remap = np.full(len(verts), -1, dtype=np.int64)
+    remap[used] = np.arange(len(used))
+    return verts[used], remap[keep_faces]
+
+
 def save_ply(path: str, verts: np.ndarray, faces: Optional[np.ndarray] = None) -> None:
     """ASCII PLY export (replaces trimesh.export)."""
     faces = faces if faces is not None else np.zeros((0, 3), dtype=np.int64)

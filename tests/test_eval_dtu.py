@@ -89,3 +89,113 @@ class TestEvalDtuPoints:
         # keeping the buried half drags COMP toward the 52-unit offset
         assert with_plane["completeness_s2d"] < 2.0
         assert without["completeness_s2d"] > 10.0
+
+
+class TestMeshToPointProtocol:
+    """The reference mesh->points conversion (eval-dtu.py:46-71):
+    deterministic per-triangle barycentric grid at the downsample density
+    plus all vertices."""
+
+    def test_grid_sample_density_and_vertices(self):
+        from neat_tpu.viz.mesh import grid_sample_mesh
+
+        # one large right triangle in the z=0 plane, legs 10 x 10
+        verts = np.array([[0, 0, 0], [10, 0, 0], [0, 10, 0]], dtype=np.float64)
+        faces = np.array([[0, 1, 2]])
+        pts = grid_sample_mesh(verts, faces, density=0.2)
+        # all vertices present (reference concatenates them)
+        for v in verts:
+            assert np.any(np.all(pts == v, axis=-1))
+        # deterministic
+        np.testing.assert_array_equal(pts, grid_sample_mesh(verts, faces, 0.2))
+        # grid samples lie inside the triangle and cover it at ~density
+        inner = pts[3:]
+        assert np.all(inner[:, 2] == 0)
+        assert np.all(inner.sum(-1) <= 10 + 1e-9) and np.all(inner[:, :2] >= 0)
+        # target spacing 0.2 over a 50-area triangle -> ~1250 cells; the
+        # n=floor(l/thr) grid yields the same order of magnitude
+        assert 800 < len(inner) < 3000
+        from scipy.spatial import cKDTree
+
+        d, _ = cKDTree(inner).query(inner, k=2)
+        assert np.median(d[:, 1]) < 0.45  # neighbors at ~density spacing
+
+    def test_zero_area_triangles_skipped(self):
+        from neat_tpu.viz.mesh import grid_sample_mesh
+
+        verts = np.array([[0, 0, 0], [1, 0, 0], [2, 0, 0]], dtype=np.float64)
+        faces = np.array([[0, 1, 2]])  # collinear
+        pts = grid_sample_mesh(verts, faces, density=0.1)
+        assert len(pts) == 3  # only the vertices
+
+
+class TestLargestComponent:
+    def test_keeps_biggest_area_component(self):
+        from neat_tpu.viz.mesh import largest_component
+
+        # small triangle (area 0.5) + big quad (2 triangles, area 50)
+        verts = np.array(
+            [[0, 0, 0], [1, 0, 0], [0, 1, 0],
+             [5, 5, 0], [15, 5, 0], [15, 10, 0], [5, 10, 0]],
+            dtype=np.float64,
+        )
+        faces = np.array([[0, 1, 2], [3, 4, 5], [3, 5, 6]])
+        kv, kf = largest_component(verts, faces)
+        assert len(kv) == 4 and len(kf) == 2
+        assert kv.min(0)[0] == 5.0  # the quad survived
+        # faces reindexed into the kept vertex set
+        assert kf.max() < len(kv)
+
+    def test_empty_faces_passthrough(self):
+        from neat_tpu.viz.mesh import largest_component
+
+        verts = np.zeros((5, 3))
+        faces = np.zeros((0, 3), dtype=np.int64)
+        kv, kf = largest_component(verts, faces)
+        assert len(kv) == 5 and len(kf) == 0
+
+
+class TestScanNetProtocol:
+    """eval-lsr-scannet.py:42-140: x/scale + offset map, voxel-0.02 GT,
+    no prediction downsample, Prec/Recall/F-score at 0.05."""
+
+    def test_voxel_downsample_centroids(self):
+        from neat_tpu.evaluation.eval_lsr import voxel_downsample
+
+        pts = np.array(
+            [[0.001, 0.001, 0.001], [0.009, 0.009, 0.009],  # same voxel
+             [0.5, 0.5, 0.5]]
+        )
+        out = voxel_downsample(pts, 0.02)
+        assert len(out) == 2
+        np.testing.assert_allclose(sorted(out[:, 0]), [0.005, 0.5])
+
+    def test_perfect_prediction_scores_one(self, tmp_path):
+        from neat_tpu.evaluation.eval_lsr import eval_scannet_lines
+
+        rng = np.random.default_rng(0)
+        # GT vertices along two segments in world meters
+        a = np.stack([np.linspace(0, 1, 200), np.zeros(200), np.zeros(200)], -1)
+        b = np.stack([np.zeros(150), np.linspace(0, 1, 150), np.ones(150)], -1)
+        gt = np.concatenate([a, b])
+        scale, offset = 0.5, np.array([1.0, 2.0, 3.0])
+        # predictions in the normalized frame: x_norm = (x_world - offset)*scale
+        lines_w = np.array([[[0, 0, 0], [1, 0, 0]], [[0, 0, 1], [0, 1, 1]]], float)
+        lines_n = (lines_w - offset) * scale
+        npz = tmp_path / "pred.npz"
+        np.savez(npz, lines3d=lines_n)
+
+        out = eval_scannet_lines(str(npz), gt, scale, offset)
+        assert out["precision"] == 1.0 and out["recall"] == 1.0
+        assert out["fscore"] == 1.0
+        assert out["accuracy_d2s"] < 0.01 and out["completeness_s2d"] < 0.01
+
+    def test_wrong_prediction_scores_zero_precision(self, tmp_path):
+        from neat_tpu.evaluation.eval_lsr import eval_scannet_lines
+
+        gt = np.zeros((100, 3))
+        lines_n = np.array([[[5.0, 5, 5], [6, 5, 5]]])
+        npz = tmp_path / "pred.npz"
+        np.savez(npz, lines3d=lines_n)
+        out = eval_scannet_lines(str(npz), gt, 1.0, np.zeros(3))
+        assert out["precision"] == 0.0

@@ -117,11 +117,11 @@ def main(argv=None):
     np.savez(osp.join(rundir, "rehearsal_wfi_checked.npz"), lines3d=pred_lines)
 
     # the synthetic scene is metrically tiny vs real DTU (mm): use
-    # radius/max_dist scaled to the unit-ish scene
+    # radius/max_dist scaled to the unit-ish scene; junctions score ALL
+    # endpoints (the reference disables their downsample, eval-wfr-dtu.py:46)
     jm = eval_wfr_junctions(
         osp.join(rundir, "rehearsal_wfi_checked.npz"),
         gt_j,
-        downsample_radius=0.02,
         max_dist=2.0,
     )
     lm = eval_lsr_lines(

@@ -246,11 +246,13 @@ def main(argv=None):
     # mask-less ACC/COMP protocol (eval-lsr-bmvs.py / eval-lsr-scannet.py)
     from neat_tpu.evaluation.eval_lsr import eval_lsr_lines, eval_wfr_junctions
 
+    # junctions and BMVS-style lines score ALL points (eval-wfr-dtu.py:46,
+    # eval-lsr-bmvs.py:88-90 — the reference disables the downsample here)
     metrics["junctions"] = eval_wfr_junctions(
-        npz, gt_j, downsample_radius=0.02, max_dist=2.0
+        npz, gt_j, downsample_radius=0.0, max_dist=2.0
     )
     metrics["lines"] = eval_lsr_lines(
-        npz, gt_line_pts, downsample_radius=0.02, max_dist=2.0
+        npz, gt_line_pts, downsample_radius=0.0, max_dist=2.0
     )
     print(f"eval_lsr junctions: {metrics['junctions']}", flush=True)
     print(f"eval_lsr lines:     {metrics['lines']}", flush=True)
