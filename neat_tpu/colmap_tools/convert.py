@@ -62,6 +62,12 @@ def normalize_cameras(
         # robust centroid of the sparse cloud
         center = np.median(points, axis=0)
         spread = np.percentile(np.linalg.norm(points - center, axis=1), 90)
+        # the point spread alone says nothing about where the CAMERAS
+        # land: if they would normalize outside camera_radius, the
+        # samplers' scene_bounding_sphere/far budget (sampling) no longer
+        # reaches the object — grow the scale until the cameras fit
+        cam_spread = np.linalg.norm(centers - center, axis=1).max()
+        spread = max(spread, cam_spread / camera_radius)
     else:
         center = centers.mean(axis=0)
         spread = np.linalg.norm(centers - center, axis=1).max() / camera_radius
@@ -77,11 +83,32 @@ def colmap_to_cameras_npz(
     out_path: str,
     normalize: bool = True,
     camera_radius: float = 3.0,
+    image_dir: Optional[str] = None,
 ) -> None:
     """Write cameras.npz in the DTU/BMVS convention consumed by
-    load_dtu_scene (world_mat_i [+ scale_mat_i])."""
+    load_dtu_scene (world_mat_i [+ scale_mat_i]).
+
+    world_mat_i is positional over the SORTED image-file list the loader
+    zips it with, so a partial COLMAP registration must fail here rather
+    than silently pair image i with the pose of a different image once an
+    unregistered file shifts the order. Pass image_dir to check (the
+    run_sfm caller does)."""
     world_mats, _, points = colmap_to_world_mats(model_dir)
     names = sorted(world_mats.keys())
+    if image_dir is not None:
+        on_disk = sorted(
+            f for f in os.listdir(image_dir)
+            if f.lower().endswith((".png", ".jpg", ".jpeg"))
+        )
+        if names != on_disk:
+            missing = sorted(set(on_disk) - set(names))
+            raise RuntimeError(
+                f"COLMAP registered {len(names)}/{len(on_disk)} images; "
+                f"world_mat_i indices are positional over the sorted file "
+                f"list, so an incomplete registration would mis-pair poses. "
+                f"Unregistered: {missing[:8]}{'...' if len(missing) > 8 else ''} "
+                f"— re-run SfM or remove those images."
+            )
     out = {}
     scale_mat = (
         normalize_cameras(world_mats, points, camera_radius)
@@ -153,7 +180,10 @@ def main(argv=None):
     if model_dir is None:
         assert args.images, "need --images or --model"
         model_dir = run_sfm(args.images, args.workdir)
-    colmap_to_cameras_npz(model_dir, args.out, normalize=not args.no_normalize)
+    colmap_to_cameras_npz(
+        model_dir, args.out, normalize=not args.no_normalize,
+        image_dir=args.images,
+    )
     print(f"wrote {args.out}")
 
 

@@ -88,7 +88,11 @@ class COLMAPDatabase(sqlite3.Connection):
 
     def add_image(
         self, name: str, camera_id: int,
-        prior_q=(1, 0, 0, 0), prior_t=(0, 0, 0), image_id: Optional[int] = None,
+        # NaN = "no pose prior" (reference custom.py:200) — a concrete
+        # identity default would feed pose-prior-aware COLMAP stages a
+        # bogus origin prior for every image
+        prior_q=(float("nan"),) * 4, prior_t=(float("nan"),) * 3,
+        image_id: Optional[int] = None,
     ) -> int:
         cur = self.execute(
             "INSERT INTO images VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?)",

@@ -54,7 +54,12 @@ def depth_to_points(
     if max_depth is not None:
         valid &= d < max_depth
     xs, ys, d = xs[valid], ys[valid], d[valid]
-    pix = np.stack([xs, ys, np.ones_like(xs)], axis=0).astype(np.float64)
+    # +0.5: COLMAP depth maps sample pixel CENTERS (as in its own
+    # stereo fusion); integer indices would shift every point by half a
+    # pixel times depth/f
+    pix = np.stack(
+        [xs + 0.5, ys + 0.5, np.ones_like(xs)], axis=0
+    ).astype(np.float64)
     cam = np.linalg.inv(k) @ pix * d[None]
     hom = np.concatenate([cam, np.ones((1, cam.shape[1]))], axis=0)
     world = cam2world @ hom

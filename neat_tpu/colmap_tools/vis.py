@@ -84,6 +84,15 @@ def plot_reconstruction(
         for a, b in segs:
             ax.plot(*np.stack([a, b]).T, color="tab:red", linewidth=0.7)
     ax.view_init(elev=elev, azim=azim)
+    # true proportions (the reference viewer's aspectmode='data',
+    # vis_3d.py:44): equalize the axis RANGES before forcing a unit box,
+    # else an elongated scene is anisotropically squashed
+    lims = np.array([ax.get_xlim3d(), ax.get_ylim3d(), ax.get_zlim3d()])
+    centers = lims.mean(axis=1)
+    half = (lims[:, 1] - lims[:, 0]).max() / 2
+    ax.set_xlim3d(centers[0] - half, centers[0] + half)
+    ax.set_ylim3d(centers[1] - half, centers[1] + half)
+    ax.set_zlim3d(centers[2] - half, centers[2] + half)
     ax.set_box_aspect((1, 1, 1))
     fig.savefig(out_path, dpi=120)
     plt.close(fig)

@@ -148,3 +148,73 @@ class TestVis:
         stats = plot_reconstruction(str(tmp_path), str(out), min_track_len=1)
         assert out.exists() and out.stat().st_size > 1000
         assert stats["n_cameras"] == 2 and stats["n_points"] == 1
+
+
+class TestConvertGuards:
+    def test_partial_registration_raises(self, tmp_path):
+        """world_mat_i is positional over the sorted image-file list, so an
+        image on disk that COLMAP failed to register must fail the npz
+        export loudly instead of mis-pairing poses."""
+        from neat_tpu.colmap_tools.convert import colmap_to_cameras_npz
+        from neat_tpu.colmap_tools.model_io import write_model
+
+        cams, imgs, pts = make_model()
+        model = tmp_path / "model"
+        model.mkdir()
+        write_model(cams, imgs, pts, str(model), ext=".bin")
+        image_dir = tmp_path / "images"
+        image_dir.mkdir()
+        for name in ("a.png", "b.png", "c.png"):  # c.png unregistered
+            (image_dir / name).write_bytes(b"")
+        with pytest.raises(RuntimeError, match="c.png"):
+            colmap_to_cameras_npz(
+                str(model), str(tmp_path / "cameras.npz"),
+                image_dir=str(image_dir),
+            )
+        # matching sets export fine
+        (image_dir / "c.png").unlink()
+        colmap_to_cameras_npz(
+            str(model), str(tmp_path / "cameras.npz"), image_dir=str(image_dir)
+        )
+        assert (tmp_path / "cameras.npz").exists()
+
+    def test_normalize_covers_cameras(self):
+        """With a sparse cloud tight around the origin but cameras far out,
+        the scale must still bring the cameras inside camera_radius —
+        otherwise the sampler's near/far budget never reaches the object."""
+        from neat_tpu.colmap_tools.convert import normalize_cameras
+
+        rng = np.random.default_rng(0)
+        points = rng.normal(scale=0.5, size=(200, 3))
+        # cameras on a shell of radius 40: K[R|t] with centers c -> t = -R c
+        world_mats = {}
+        for i in range(8):
+            c = 40.0 * rng.normal(size=3)
+            c /= np.linalg.norm(c) / 40.0
+            p = np.eye(4)
+            p[:3, :3] = 500.0 * np.eye(3)
+            p[:3, 3] = -500.0 * c
+            world_mats[f"{i}.png"] = p
+        sm = normalize_cameras(world_mats, points=points, camera_radius=3.0)
+        radius = sm[0, 0]
+        center = sm[:3, 3]
+        for p in world_mats.values():
+            cam_c = -np.linalg.solve(p[:3, :3], p[:3, 3])
+            assert np.linalg.norm((cam_c - center) / radius) <= 3.0 + 1e-6
+
+
+class TestDepthUnprojection:
+    def test_pixel_center_convention(self):
+        """Rays go through pixel CENTERS (x+0.5, y+0.5) like COLMAP's own
+        fusion: a point projected at a pixel center must unproject back
+        to itself."""
+        from neat_tpu.colmap_tools.depth import depth_to_points
+
+        k = np.array([[100.0, 0, 32.0], [0, 100.0, 24.0], [0, 0, 1.0]])
+        depth = np.zeros((48, 64), np.float64)
+        # pixel (x=10, y=7) center -> cam ray ((10.5-32)/100, (7.5-24)/100, 1)
+        depth[7, 10] = 2.0
+        pts = depth_to_points(depth, k, np.eye(4))
+        assert pts.shape == (1, 3)
+        expect = np.array([(10.5 - 32.0) / 100, (7.5 - 24.0) / 100, 1.0]) * 2.0
+        np.testing.assert_allclose(pts[0], expect, atol=1e-12)
