@@ -189,9 +189,11 @@ def render_pinhole_view(
 def capture_spherical_views(
     lines3d: np.ndarray,
     out_dir: str,
-    n_frames: int = 36,
-    radius: float = 4.0,
-    phi: float = -30.0,
+    n_frames: int = 72,
+    radius: float = 3.0,
+    phi: float = 0.0,
+    psi: float = 0.0,
+    theta0: float = 0.0,
     width: int = 512,
     height: int = 512,
     focal: float = 500.0,
@@ -200,15 +202,17 @@ def capture_spherical_views(
     line_width: float = 0.3,
 ) -> None:
     """The reference's record loop (show.py capture_image + rotate):
-    sweep a spherical path, and for each frame save BOTH the rendered
-    image_%04d.png and the replayable cam_%04d.json."""
+    sweep a spherical path stepping theta by 360/n_frames (the reference
+    rotate() steps 5 deg = 72 frames, show.py:209), holding the psi/phi/
+    radius of the chosen pose preset; for each frame save BOTH the
+    rendered image_%04d.png and the replayable cam_%04d.json."""
     os.makedirs(out_dir, exist_ok=True)
     k3 = np.array(
         [[focal, 0, width / 2.0], [0, focal, height / 2.0], [0, 0, 1.0]]
     )
     for i in range(n_frames):
-        theta = 360.0 * i / n_frames
-        c2w = pose_spherical(0.0, theta, phi, radius)
+        theta = (theta0 + 360.0 * i / n_frames) % 360.0
+        c2w = pose_spherical(psi, theta, phi, radius)
         w2c = np.linalg.inv(c2w)
         save_camera_json(
             osp.join(out_dir, f"cam_{i:04d}.json"), k3, w2c, width, height
@@ -270,7 +274,9 @@ def main(argv=None):
     )
     parser.add_argument("--data", required=True, help="wireframe npz (lines3d)")
     parser.add_argument("--out", default=None, help="output dir (default: <data>.frames)")
-    parser.add_argument("--frames", type=int, default=36)
+    parser.add_argument("--frames", type=int, default=None,
+                        help="default: 36 (turntable) / 72 = the reference's "
+                        "5-degree rotate step (record)")
     parser.add_argument("--mode", default="turntable",
                         choices=["turntable", "record", "replay"],
                         help="turntable: matplotlib 3D sheet; record: "
@@ -284,11 +290,30 @@ def main(argv=None):
                         help="overlay junctions3d_initial from the npz "
                         "(show-junctions.py)")
     parser.add_argument("--line-width", default=0.3, type=float)
-    parser.add_argument("--radius", default=4.0, type=float)
+    parser.add_argument("--pose", default="none", choices=["none", "dtu", "scan"],
+                        help="trajectory preset (reference show.py:443-455: "
+                        "dtu = psi -155 / phi -25 / r 3; scan = theta0 170 / "
+                        "phi -45 / r 3)")
+    parser.add_argument("--psi", default=None, type=float)
+    parser.add_argument("--phi", default=None, type=float)
+    parser.add_argument("--theta0", default=None, type=float)
+    parser.add_argument("--radius", default=None, type=float)
+    parser.add_argument("--threshold", default=None, type=float,
+                        help="keep lines whose npz scores are under this "
+                        "(reference show.py --threshold)")
     args = parser.parse_args(argv)
 
     data = np.load(args.data, allow_pickle=True)
-    lines3d = data["lines3d"].reshape(-1, 2, 3)
+    lines3d = data["lines3d"]
+    if lines3d.dtype == object or lines3d.ndim == 1:
+        # per-view object arrays (reference wireframe.py/debug.py npz
+        # format; show.py:462 concatenates the same way)
+        lines3d = np.concatenate([np.asarray(l) for l in lines3d], axis=0)
+    lines3d = np.asarray(lines3d, np.float32).reshape(-1, 2, 3)
+    if args.threshold is not None and "scores" in data:
+        scores = np.asarray(data["scores"]).reshape(-1)
+        if scores.shape[0] == lines3d.shape[0]:
+            lines3d = lines3d[scores < args.threshold]
     points3d = None
     if args.show_junctions:
         if "junctions3d_initial" in data:
@@ -297,16 +322,29 @@ def main(argv=None):
             points3d = np.unique(lines3d.reshape(-1, 3), axis=0)
     out = args.out or args.data + ".frames"
 
+    presets = {
+        "dtu": dict(psi=-155.0, theta0=0.0, phi=-25.0, radius=3.0),
+        "scan": dict(psi=0.0, theta0=170.0, phi=-45.0, radius=3.0),
+        "none": dict(psi=0.0, theta0=0.0, phi=0.0, radius=3.0),
+    }
+    traj = presets[args.pose]
+    for k in traj:
+        v = getattr(args, k)
+        if v is not None:
+            traj[k] = v
+
     if args.mode == "turntable":
-        render_turntable(lines3d, out, junctions=points3d, n_frames=args.frames)
-        print(f"wrote {args.frames} turntable frames to {out}")
+        n = args.frames or 36
+        render_turntable(lines3d, out, junctions=points3d, n_frames=n)
+        print(f"wrote {n} turntable frames to {out}")
     elif args.mode == "record":
+        n = args.frames or 72
         capture_spherical_views(
-            lines3d, out, n_frames=args.frames, radius=args.radius,
-            points3d=points3d, show_endpoints=args.show_endpoints,
-            line_width=args.line_width,
+            lines3d, out, n_frames=n, points3d=points3d,
+            show_endpoints=args.show_endpoints, line_width=args.line_width,
+            **traj,
         )
-        print(f"recorded {args.frames} views (+cam jsons) to {out}")
+        print(f"recorded {n} views (+cam jsons) to {out}")
     else:
         assert args.cam_dir, "--mode replay needs --cam_dir"
         n = replay_views(

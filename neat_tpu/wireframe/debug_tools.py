@@ -114,7 +114,7 @@ def debug_recon(
         )
         nl = scene.n_lines[view]
         gt5 = scene.lines[view][:nl]
-        view_lines, view_points, view_scores = [], [], []
+        view_lines = []
         for label in np.unique(labels):
             if label >= nl:
                 continue
@@ -127,8 +127,13 @@ def debug_recon(
             keep = dis < line_dis_threshold
             if keep.sum() == 0:
                 continue
+            # the kept LINE averages the 2D-gated segments, but the
+            # support set and its score use ALL the label's pixels
+            # (reference debug.py:173,185-187 appends points3d_valid[idx]
+            # unfiltered) — outlier support pixels must be able to fail a
+            # line downstream (refinement.py scores < 0.01 gate)
             seg = lines3d[idx][keep].mean(axis=0)
-            support = l3d[idx][keep]
+            support = l3d[idx]
             denom = max(np.linalg.norm(seg[1] - seg[0]), 1e-6)
             sdist = (
                 np.linalg.norm(
@@ -137,36 +142,35 @@ def debug_recon(
                 / denom
             )
             view_lines.append(seg)
-            view_points.append(support.mean(axis=0))
-            view_scores.append(sdist.mean())
+            points3d_all.append(support.astype(np.float32))
+            scores_all.append(np.float32(sdist.mean()))
         if view_lines:
-            lines3d_all.append(np.stack(view_lines))
-            points3d_all.append(np.stack(view_points))
-            scores_all.append(np.asarray(view_scores, dtype=np.float32))
+            lines3d_all.append(np.stack(view_lines).astype(np.float32))
         cameras.append(scene.pose[view])
         if verbose and view % 20 == 0:
             total = sum(l.shape[0] for l in lines3d_all)
             print(f"view {view}: {total} grouped lines so far")
 
+    # the reference artifact contract (debug.py:207-219): lines3d is an
+    # object array of per-view (L, 2, 3) arrays, points3d_all an object
+    # array of per-label support point SETS, scores flat — refinement.py
+    # reads exactly these keys, and the viewers np.concatenate them
+    lines3d_obj = np.empty(len(lines3d_all), dtype=object)
+    for i, l in enumerate(lines3d_all):
+        lines3d_obj[i] = l
+    points3d_obj = np.empty(len(points3d_all), dtype=object)
+    for i, p in enumerate(points3d_all):
+        points3d_obj[i] = p
     result = {
-        "lines3d": (
-            np.concatenate(lines3d_all)
-            if lines3d_all
-            else np.zeros((0, 2, 3), np.float32)
-        ),
-        "points3d": (
-            np.concatenate(points3d_all)
-            if points3d_all
-            else np.zeros((0, 3), np.float32)
-        ),
-        "scores": (
-            np.concatenate(scores_all) if scores_all else np.zeros((0,), np.float32)
-        ),
+        "lines3d": lines3d_obj,
+        "points3d_all": points3d_obj,
+        "scores": np.asarray(scores_all, dtype=np.float32),
         "cameras": np.stack(cameras),
     }
     np.savez(osp.join(out_dir, "debug_lines.npz"), **result)
     if verbose:
-        print(f"wrote {out_dir}/debug_lines.npz ({result['lines3d'].shape[0]} lines)")
+        n = sum(l.shape[0] for l in lines3d_all)
+        print(f"wrote {out_dir}/debug_lines.npz ({n} lines)")
     return result
 
 
@@ -194,7 +198,14 @@ def main(argv=None):
     cfg = load_experiment_config(args.conf)
     state, _ = load_checkpoint(osp.join(rundir, "checkpoints"), args.checkpoint)
 
-    scene = load_scene_for_config(cfg, args.data_root, distance_threshold=1.0)
+    # support-mask widths differ per probe: debug.py evaluates at the
+    # finalization threshold 1, but wireframe-debug.py sets
+    # eval_dataset.distance = 5 (:64) so the softmax probe sees all
+    # pixels within 5 px of each detected line
+    scene = load_scene_for_config(
+        cfg, args.data_root,
+        distance_threshold=5.0 if args.mode == "softmax" else 1.0,
+    )
 
     out_dir = args.out or osp.join(rundir, "debug")
     if args.mode == "recon":

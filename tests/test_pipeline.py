@@ -134,6 +134,59 @@ class TestTrainOnSynthetic:
         fused = fuse_lines(scene, np.concatenate([lines, garbage]))
         assert fused.shape[0] == lines.shape[0]
 
+    def test_refinement_recon(self, scene_dir, scene):
+        """Reference refinement.py semantics: the sdf pre-filter gates
+        everything, and per-view re-matching replaces matched GROUPS with
+        their mean (cross-view consensus), never moving endpoints
+        individually."""
+        from neat_tpu.wireframe.distill import refinement_recon
+
+        cfg = tiny_cfg()
+        params = init_neat(jax.random.PRNGKey(0), cfg)
+        with open(osp.join(scene_dir, "toy", "lines.json")) as f:
+            gt = json.load(f)
+        j = np.asarray(gt["junctions"], dtype=np.float32)
+        lines = j[np.asarray(gt["lines"])]
+        rng = np.random.RandomState(0)
+        dup = np.repeat(lines, 3, axis=0) + rng.randn(
+            3 * len(lines), 2, 3
+        ).astype(np.float32) * 0.005
+
+        # an impossible sdf gate drops everything
+        assert refinement_recon(
+            params, cfg, scene, dup, sdf_threshold=1e-12
+        ).shape[0] == 0
+        # scores gate composes with it
+        assert refinement_recon(
+            params, cfg, scene, dup, sdf_threshold=1e9,
+            scores=np.full(len(dup), 1.0), score_threshold=0.01,
+        ).shape[0] == 0
+        # permissive gates: duplicates of one GT line match the same
+        # detection and collapse to group means
+        out = refinement_recon(
+            params, cfg, scene, dup, sdf_threshold=1e9, match_threshold=1e9
+        )
+        assert out.shape == (out.shape[0], 2, 3)
+        assert 0 < out.shape[0] < dup.shape[0]
+        assert np.isfinite(out).all()
+
+    def test_dgrid_recon_smoke(self, scene):
+        """dgrid: surface grid points -> per-view attraction evaluation at
+        their projections -> label-signature clustering. The geometric
+        init gives a spherical zero set, so the grid filter finds points;
+        an untrained attraction field may or may not pass the 1 px
+        orthogonal gate — the contract is shape/finiteness."""
+        from neat_tpu.wireframe.distill import dgrid_recon
+
+        cfg = tiny_cfg()
+        params = init_neat(jax.random.PRNGKey(0), cfg)
+        out = dgrid_recon(
+            params, cfg, scene, resolution=16, sdf_eps=0.1,
+            grid_bounds=((-1, -1, -1), (1, 1, 1)), chunksize=256,
+        )
+        assert out.ndim == 3 and out.shape[1:] == (2, 3)
+        assert np.isfinite(out).all()
+
     def test_mesh_and_render_eval(self, scene):
         from neat_tpu.evaluation.render_eval import render_view, export_scene_mesh
 

@@ -66,25 +66,63 @@ class TestPlots:
 
 
 class TestDistillHelpers:
-    def test_nms_keeps_best(self, rng):
-        from neat_tpu.wireframe.distill import nms_lines
+    def test_greedy_suppress_keeps_best(self, rng):
+        from neat_tpu.wireframe.distill import greedy_suppress_lines
 
         base = np.asarray([[[0, 0, 0], [1, 0, 0]]], np.float32)
         dups = base + rng.randn(10, 2, 3).astype(np.float32) * 1e-4
         far = np.asarray([[[0, 5, 0], [1, 5, 0]]], np.float32)
         lines = np.concatenate([dups, far])
         scores = np.concatenate([np.arange(10) * 0.1, [0.0]])
-        out = nms_lines(lines, scores, threshold=0.01)
+        out = greedy_suppress_lines(lines, scores, threshold=0.01)
         assert out.shape[0] == 2
 
-    def test_merge(self, rng):
+    def test_nms_snaps_endpoints_to_count_maxima(self, rng):
+        """Reference nms.py semantics: endpoints snap to grid cells that
+        locally maximize the endpoint count; all lines are kept, and
+        near-duplicates collapse to IDENTICAL snapped segments sharing
+        junction coordinates."""
+        from neat_tpu.wireframe.distill import nms_lines
+
+        # three junctions spanning a genuine 3D bbox (the grid deltas are
+        # per-axis bbox/resolution, as in the reference)
+        base = np.asarray(
+            [[[0, 0, 0], [1, 0, 0]], [[1, 0, 0], [1, 1, 1]]], np.float32
+        )
+        jitter = rng.randn(8, 2, 3).astype(np.float32) * 1e-3
+        lines = np.concatenate([np.repeat(base, 4, axis=0) + jitter])
+        out = nms_lines(lines, resolution=8)
+        # every input line survives (reference cost<10000 keeps all)
+        assert out.shape[0] == lines.shape[0]
+        # endpoints collapsed onto shared junction coordinates
+        uniq = np.unique(out.reshape(-1, 3), axis=0)
+        assert uniq.shape[0] == 3
+        # the shared junction (1,0,0) is bitwise-identical across lines
+        snapped_ends = out.reshape(-1, 3)
+        d = np.linalg.norm(uniq[:, None] - base.reshape(-1, 3)[None], axis=-1)
+        assert d.min(axis=1).max() < 0.05  # maxima near the true junctions
+        assert snapped_ends.dtype == lines.dtype
+
+    def test_merge_relative_nearest_only(self):
+        """Reference wireframe-merge.py:201-209: an existing line
+        suppresses only its single nearest incoming line, within
+        0.05x its own LENGTH."""
         from neat_tpu.wireframe.distill import merge_wireframes
 
-        a = np.asarray([[[0, 0, 0], [1, 0, 0]]], np.float32)
-        b = a + 1e-5
-        c = np.asarray([[[0, 2, 0], [1, 2, 0]]], np.float32)
-        out = merge_wireframes([a, b, c], dedup_threshold=0.01)
+        a = np.asarray([[[0, 0, 0], [1, 0, 0]]], np.float32)  # length 1
+        # two near-duplicates of a: only the NEAREST one is suppressed
+        b = np.concatenate([a + 1e-3, a + 2e-3])
+        out = merge_wireframes([a, b], rel_threshold=0.05)
         assert out.shape[0] == 2
+        # a short existing line (length 0.1 -> radius 0.005) does NOT
+        # absorb an incoming line 0.01 away...
+        s = np.asarray([[[0, 0, 0], [0.1, 0, 0]]], np.float32)
+        near = s + 0.01
+        assert merge_wireframes([s, near], rel_threshold=0.05).shape[0] == 2
+        # ...while a long line (length 10 -> radius 0.5) absorbs the same
+        # absolute offset
+        long = np.asarray([[[0, 0, 0], [10, 0, 0]]], np.float32)
+        assert merge_wireframes([long, long + 0.01]).shape[0] == 1
 
 
 class TestViewerCapture:
@@ -94,6 +132,31 @@ class TestViewerCapture:
     def _wireframe(self):
         rng = np.random.RandomState(0)
         return rng.randn(10, 2, 3).astype(np.float32) * 0.3
+
+    def test_cli_loads_object_dtype_npz(self, tmp_path):
+        """Reference artifacts (wireframe.py/debug.py) store lines3d as an
+        object array of per-view (L, 2, 3) arrays; the viewer must
+        concatenate them like show.py:462, and honor the scores
+        --threshold filter."""
+        from neat_tpu.viz.viewer import main as viewer_main
+
+        per_view = np.empty(2, dtype=object)
+        per_view[0] = self._wireframe()[:4]
+        per_view[1] = self._wireframe()[4:]
+        scores = np.concatenate(
+            [np.zeros(4, np.float32), np.ones(6, np.float32)]
+        )
+        p = tmp_path / "record.npz"
+        np.savez(p, lines3d=per_view, scores=scores)
+        out = tmp_path / "frames"
+        viewer_main([
+            "--data", str(p), "--out", str(out),
+            "--mode", "record", "--frames", "2",
+            "--pose", "dtu", "--threshold", "0.5",
+        ])
+        import glob as g
+        assert len(g.glob(str(out / "image_*.png"))) == 2
+        assert len(g.glob(str(out / "cam_*.json"))) == 2
 
     def test_camera_json_roundtrip(self, tmp_path):
         from neat_tpu.viz.viewer import save_camera_json, load_camera_json
