@@ -170,6 +170,7 @@ def wireframe_from_lines_and_junctions(
     junctions: np.ndarray,
     rel_matching_distance_threshold: float = 0.0,
     edge_vote_threshold: int = 1,
+    drop_self_edges: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Snap line endpoints to nearest junctions -> adjacency + graph lines
     (reference :134-156). lines (L,2,3), junctions (J,3).
@@ -177,7 +178,11 @@ def wireframe_from_lines_and_junctions(
     ``edge_vote_threshold``: minimum number of distilled lines that must
     snap to a junction pair for the edge to survive (the reference admits
     an edge from a single line — the main source of spurious graph edges;
-    1 = reference parity)."""
+    1 = reference parity).
+    ``drop_self_edges``: a line whose BOTH endpoints snap to the same
+    junction is not an edge (default; a documented deviation) — the
+    reference keeps graph[i,i]=1 and emits the zero-length (J,J) line in
+    wfi, which downstream line metrics then count; False restores that."""
     ep1, ep2 = lines[:, 0], lines[:, 1]
     c1 = np.linalg.norm(ep1[:, None] - junctions[None], axis=-1)
     c2 = np.linalg.norm(ep2[:, None] - junctions[None], axis=-1)
@@ -186,8 +191,8 @@ def wireframe_from_lines_and_junctions(
     is_matched = np.maximum(m1, m2) < np.linalg.norm(ep1 - ep2, axis=-1)
     if rel_matching_distance_threshold > 0:
         is_matched &= np.maximum(m1, m2) < rel_matching_distance_threshold
-    # degenerate snaps (both endpoints to the same junction) are not edges
-    is_matched &= i1 != i2
+    if drop_self_edges:
+        is_matched &= i1 != i2
 
     counts = np.zeros((junctions.shape[0], junctions.shape[0]), dtype=np.int64)
     if is_matched.sum() > 0:
@@ -314,7 +319,7 @@ def distill_views(
         )
 
     gjc_votes: Dict[int, list] = defaultdict(list)
-    lines3d_all, points3d_all, scores_all = [], [], []
+    lines3d_all, scores_all = [], []
 
     for view in range(scene.n_images):
         lines3d, lines2d, l3d, _ = view_field_lines(
@@ -347,8 +352,7 @@ def distill_views(
         lines3d_valid = lines3d[keep]
         points3d_valid = points3d[keep]
 
-        view_lines, view_points, view_scores = [], [], []
-        rs = np.random.RandomState(view)
+        view_lines, view_scores = [], []
         for label in np.unique(assignment):
             idx = np.nonzero(assignment == label)[0]
             val = lines3d_valid[idx].mean(axis=0)  # (2, 3)
@@ -361,7 +365,6 @@ def distill_views(
                 / denom
             )
             view_lines.append(val)
-            view_points.append(support[rs.randint(len(idx))])
             view_scores.append(support_dis.mean())
 
         view_lines = np.stack(view_lines)
@@ -377,7 +380,6 @@ def distill_views(
                 gjc_votes[int(a)].append(endpoints[b])
 
         lines3d_all.append(view_lines)
-        points3d_all.append(np.stack(view_points))
         scores_all.append(view_scores)
         if verbose:
             print(
@@ -470,7 +472,11 @@ def assemble_wireframe(
             junctions3d_initial, vote_counts, junction_merge_eps
         )
 
-    if junctions3d_initial.shape[0] > 0 and lines3d_all.shape[0] > 0:
+    if junctions3d_initial.shape[0] > 0:
+        # zero surviving lines still yields the (J, J) zero adjacency
+        # aligned with junctions3d_initial — consumers index graph by
+        # junction index (wireframe_from_lines_and_junctions handles the
+        # empty-lines case; only junctions == 0 needs the guard)
         graph_initial, lines3d_wfi = wireframe_from_lines_and_junctions(
             lines3d_all,
             junctions3d_initial,
@@ -585,6 +591,10 @@ def wireframe_recon(
             # continues; without it a re-run would silently reuse the old
             # checkpoint's distillation with the new params
             "epoch": int(epoch),
+            # the distillation is keyed to the DATA it matched against —
+            # re-running the same rundir against a different data root
+            # (e.g. re-detected HAWP lines) must not reuse stale lines
+            "data_root": osp.realpath(data_root),
             "distance": distance,
             "junc_match_threshold": junc_match_threshold,
             "sdf_junction_refine": sdf_junction_refine,
@@ -635,10 +645,15 @@ def wireframe_recon(
             # output paths (they already use separate distill caches)
             "junc_match_threshold": junc_match_threshold,
             "sdf_junction_refine": sdf_junction_refine,
+            "data_root": osp.realpath(data_root),
             "vote_threshold": vote_threshold,
             "junction_merge_eps": junction_merge_eps,
             "sdf_filter_threshold": sdf_filter_threshold,
             "edge_vote_threshold": edge_vote_threshold,
+            # visibility-check knobs shape -wfi_checked.npz / -neat.pkl:
+            # a ckdist/ckview sweep must not overwrite its own outputs
+            "ckdist": ckdist,
+            "ckview": ckview,
         }
     )[:8].replace("/", "n")
     out_base = f"{checkpoint}-{sha256}"
