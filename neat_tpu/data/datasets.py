@@ -616,6 +616,43 @@ def load_scene(kind: str, **kwargs) -> SceneData:
     return _LOADERS[kind](**kwargs)
 
 
+def _uniform_support(scene: SceneData) -> SceneData:
+    """Replace the attraction-support sampling tables with full pixel
+    coverage: the scene_line (and plain) reference datasets draw training
+    pixels uniformly over the WHOLE image (scene_line_dataset.py:142-146
+    randperm(total_pixels)), not from a line-neighborhood mask."""
+    v, hw = scene.n_images, scene.total_pixels
+    return dataclasses.replace(
+        scene,
+        support_idx=np.tile(np.arange(hw, dtype=np.int32), (v, 1)),
+        support_count=np.full((v,), hw, dtype=np.int32),
+    )
+
+
+def _plain_trainable(scene: SceneData) -> SceneData:
+    """Make a wireframe-less scene trainable: full-coverage uniform pixel
+    sampling (the plain datasets' randperm over total_pixels,
+    blender_dataset.py:108-112) plus inert wireframe tables (zero-score
+    lines gate the line loss off; an empty verts mask empties the junction
+    assignment) so the jitted step's static input set is satisfied."""
+    v, hw = scene.n_images, scene.total_pixels
+    h, w = scene.img_res
+    uv = np.stack(
+        [np.arange(hw, dtype=np.float32) % w,
+         np.arange(hw, dtype=np.float32) // w], axis=-1
+    )
+    return dataclasses.replace(
+        _uniform_support(scene),
+        mask=np.ones((v, hw), dtype=bool),
+        labels=np.zeros((v, hw), dtype=np.int32),
+        uv_proj=np.tile(uv[None], (v, 1, 1)),
+        lines=np.zeros((v, 1, 5), dtype=np.float32),
+        n_lines=np.zeros((v,), dtype=np.int32),
+        verts2d=np.zeros((v, 1, 2), dtype=np.float32),
+        verts_mask=np.zeros((v, 1), dtype=bool),
+    )
+
+
 def load_scene_for_config(
     cfg,
     data_root: str,
@@ -652,15 +689,17 @@ def load_scene_for_config(
         # file-based depth maps load first; attach_line_depth_cues then
         # only fills views the line cues cover
         kwargs["depth_dir"] = cfg.depth_dir
-        return load_scene("scene_line", **kwargs)
+        # line supervision tables stay, but training pixels draw from the
+        # WHOLE image (scene_line_dataset.py:142-146), not a support band
+        return _uniform_support(load_scene("scene_line", **kwargs))
     if kind == "scannet":
         kwargs["scan_id"] = cfg.scan_id
         return load_scene("scannet", **kwargs)
     if kind == "blender_plain":
         kwargs["with_wireframes"] = False
-        return load_scene("blender", **kwargs)
+        return _plain_trainable(load_scene("blender", **kwargs))
     if kind == "dtu_plain":
         kwargs["with_wireframes"] = False
         kwargs["scan_id"] = cfg.scan_id
-        return load_scene("dtu", **kwargs)
+        return _plain_trainable(load_scene("dtu", **kwargs))
     return load_scene("blender", **kwargs)

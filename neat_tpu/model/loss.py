@@ -21,6 +21,7 @@ All reductions are mask-aware because junction tensors are padded.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Dict, Tuple
 
 import jax
@@ -38,10 +39,22 @@ class LossConfig:
     junction_2d_weight: float = 0.01
     line_gate_px: float = 100.0
     calibrated_branch: bool = True  # False reproduces loss_wfr_a
+    # weight of the calibrated-2D term inside the junction assignment cost:
+    # 0.1 = loss_wfr.py:106; the wfr_a/unnormalize variants use 0.01
+    junction_cost_2d_scale: float = 0.1
+    # 'wfr' = L1 cdist(j3d) + scaled L1 cdist(j2d_calib) cost with L1 pair
+    # losses; 'jc' = loss_jc.py:66-68: L2 (p=2) j3d-only cost with a
+    # SQUARED-L2 pair loss and no j2d term
+    junction_mode: str = "wfr"
     depth_weight: float = 0.0  # >0 adds the loss_wfr_spd depth term
     # 'l1' (loss_wfr_spd) or 'ssi' — the scale-and-shift-invariant monodepth
     # loss of loss_wfr_rpd.py:85-189 (per-batch closed-form scale/shift)
     depth_loss_kind: str = "l1"
+    # ssi only: True masks 0-depth pixels out of the (s, t) fit — the
+    # repaired mode for SPARSE cue maps where 0 = "no depth" would drag
+    # the fit; False = reference parity (loss_wfr_rpd.py:224 passes an
+    # all-ones mask even for its sparse depth_colmap targets)
+    depth_mask_zeros: bool = False
     # >0 adds the along-ray straightness term (the neat_along_ray ablation
     # family, reference model/neat_along_ray.py:259-411): pull each
     # predicted 3D segment toward its tangent-plane support point by
@@ -76,11 +89,18 @@ def _line_l1(
 
 
 def scale_shift_invariant_loss(
-    pred: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray = None
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    mask: jnp.ndarray = None,
+    alpha: float = 0.5,
 ) -> jnp.ndarray:
-    """MiDaS-style scale-and-shift-invariant depth loss: solve the
-    per-batch least-squares (s, t) aligning pred to target, then MSE
-    (reference loss_wfr_rpd.py:85-189). pred, target: (N,)."""
+    """MiDaS-style scale-and-shift-invariant depth loss (reference
+    loss_wfr_rpd.py:20-140): solve the per-batch least-squares (s, t)
+    aligning pred to target, then MSE (batch-based reduction divides by
+    2M, mse_loss:82-84) + ``alpha`` x a one-scale image-gradient matching
+    term on the batch laid out as an image (the reference reshapes the
+    1024-ray batch to (1, 32, 32), :222-227, with an all-ones mask).
+    pred, target: (N,)."""
     if mask is None:
         mask = jnp.ones_like(pred, dtype=bool)
     m = mask.astype(pred.dtype)
@@ -95,7 +115,19 @@ def scale_shift_invariant_loss(
     s = jnp.where(det > 1e-9, (a11 * b0 - a01 * b1) / jnp.maximum(det, 1e-9), 1.0)
     t = jnp.where(det > 1e-9, (-a01 * b0 + a00 * b1) / jnp.maximum(det, 1e-9), 0.0)
     aligned = s * pred + t
-    return jnp.sum(m * (aligned - target) ** 2) / n
+    total = jnp.sum(m * (aligned - target) ** 2) / (2.0 * n)
+    if alpha > 0:
+        # batch as an image: square when N is a perfect square (the
+        # reference's 1024 -> 32x32), else a single row (x-gradients only)
+        n_flat = pred.shape[0]
+        side = int(math.isqrt(n_flat))
+        shape = (side, side) if side * side == n_flat else (1, n_flat)
+        diff = ((aligned - target) * m).reshape(shape)
+        m2 = m.reshape(shape)
+        gx = jnp.abs(diff[:, 1:] - diff[:, :-1]) * m2[:, 1:] * m2[:, :-1]
+        gy = jnp.abs(diff[1:, :] - diff[:-1, :]) * m2[1:, :] * m2[:-1, :]
+        total = total + alpha * (jnp.sum(gx) + jnp.sum(gy)) / n
+    return total
 
 
 def neat_loss(
@@ -160,11 +192,10 @@ def neat_loss(
         pred = outputs["depth"].reshape(-1)
         gt_d = ground_truth["depth"].reshape(-1)
         if cfg.depth_loss_kind == "ssi":
-            # 0 marks "no depth available" in both the dense monodepth
-            # maps (reference masks via the object mask) and the sparse
-            # line-depth cues; fitting (s, t) against the zeros would
-            # drag predictions toward them
-            depth_loss = scale_shift_invariant_loss(pred, gt_d, mask=gt_d > 0)
+            depth_loss = scale_shift_invariant_loss(
+                pred, gt_d,
+                mask=(gt_d > 0) if cfg.depth_mask_zeros else None,
+            )
         else:
             # sparse cues use 0 = "no depth available"; the reference spd
             # loss masks them out (loss_wfr_spd.py:49-55)
@@ -204,20 +235,40 @@ def neat_loss(
         j2d_global_calib = outputs["j2d_global_calib"]
         local_mask = outputs["j_local_mask"]
 
-        cost = jax.lax.stop_gradient(
-            jnp.sum(jnp.abs(j3d_local[:, None] - j3d_global[None]), axis=-1)
-            + 0.1
-            * jnp.sum(
-                jnp.abs(j2d_local_calib[:, None] - j2d_global_calib[None]), axis=-1
+        if cfg.junction_mode == "jc":
+            # loss_jc.py:66: p=2 cdist on j3d alone
+            cost = jax.lax.stop_gradient(
+                jnp.sqrt(
+                    jnp.sum(
+                        (j3d_local[:, None] - j3d_global[None]) ** 2, axis=-1
+                    )
+                    + 1e-12
+                )
             )
-        )
+        else:
+            cost = jax.lax.stop_gradient(
+                jnp.sum(jnp.abs(j3d_local[:, None] - j3d_global[None]), axis=-1)
+                + cfg.junction_cost_2d_scale
+                * jnp.sum(
+                    jnp.abs(j2d_local_calib[:, None] - j2d_global_calib[None]),
+                    axis=-1,
+                )
+            )
+        # NaN pairs must not poison the assignment (the unnormalize
+        # variant's explicit guard, loss_wfr_unnormalize.py jcost NaN->1e5;
+        # harmless elsewhere — healthy runs produce none)
+        cost = jnp.nan_to_num(cost, nan=1e5)
         col_idx, valid = masked_assignment(
             cost, local_mask, method=cfg.assignment_method
         )
         n_valid = jnp.maximum(jnp.sum(valid), 1.0)
         sel = lambda arr: arr[col_idx]
 
-        pair_l3d = jnp.sum(jnp.abs(j3d_local - sel(j3d_global)), axis=-1)
+        if cfg.junction_mode == "jc":
+            # loss_jc.py:68: squared-L2 pair loss
+            pair_l3d = jnp.sum((j3d_local - sel(j3d_global)) ** 2, axis=-1)
+        else:
+            pair_l3d = jnp.sum(jnp.abs(j3d_local - sel(j3d_global)), axis=-1)
         j3d_loss = jnp.sum(jnp.where(valid, pair_l3d, 0.0)) / n_valid
         pair_l2d = jnp.sum(
             jnp.abs(j2d_local_calib - sel(j2d_global_calib)), axis=-1

@@ -79,6 +79,10 @@ class NeatConfig:
     model_variant: str = "neat"  # 'neat' | 'volsdf' (no wireframe head)
     sampler_kind: str = "error_bound"  # 'error_bound' | 'uniform' (neat_uni)
     detach_line_weights: bool = True  # rend_a: True; rend: False
+    # wfr/wfr_a/simple family: one attraction evaluation at the detached
+    # rendered surface point (neat_wfr.py:397-409) instead of the rend
+    # family's per-sample weighted line integral
+    attraction_at_surface: bool = False
     # rend family projects detached lines3d into the uncalibrated 2D loss
     # (rend_a:439); the wfr_a/simple variants project it live (wfr_a:405,
     # simple:345) so their uncalibrated-only losses still carry gradient
@@ -349,26 +353,45 @@ def neat_forward(
             )
         return out
 
-    # ----- attraction field ------------------------------------------------
-    with jax.named_scope("attraction"):
-        if use_fused_field:
-            lines3d = lines3d_flat.reshape(n_rays, n_samples, 2, 3)
-        else:
-            lines3d = attraction_forward(
-                params["attraction"], points_flat, grads, dirs_flat, feats,
-                cfg.attraction, compute_dtype=fdtype,
-            ).reshape(n_rays, n_samples, 2, 3)
-        w_for_lines = (
-            jax.lax.stop_gradient(weights) if cfg.detach_line_weights else weights
-        )
-        lines3d = jnp.sum(w_for_lines[..., None, None] * lines3d, axis=1)  # (R, 2, 3)
-
     # surface point and a second field evaluation there
     with jax.named_scope("surface_eval"):
         points3d = jnp.sum(weights[..., None] * points, axis=1)  # (R, 3)
-        points3d_sdf, _, points_gradients = implicit_sdf_feat_grad(
+        points3d_sdf, points3d_feats, points_gradients = implicit_sdf_feat_grad(
             params["implicit"], points3d, cfg.implicit
         )
+
+    # ----- attraction field ------------------------------------------------
+    with jax.named_scope("attraction"):
+        if cfg.attraction_at_surface:
+            # wfr/wfr_a/simple family: ONE attraction evaluation at the
+            # detached rendered surface point with its detached fresh
+            # implicit outputs (neat_wfr.py:397-409, neat_simple.py:343) —
+            # not the rend family's per-sample weighted line integral
+            lines3d = attraction_forward(
+                params["attraction"],
+                jax.lax.stop_gradient(points3d),
+                jax.lax.stop_gradient(points_gradients),
+                jax.lax.stop_gradient(ray_dirs),
+                jax.lax.stop_gradient(points3d_feats),
+                cfg.attraction,
+                compute_dtype=fdtype,
+            ).reshape(n_rays, 2, 3)
+        else:
+            if use_fused_field:
+                lines3d = lines3d_flat.reshape(n_rays, n_samples, 2, 3)
+            else:
+                lines3d = attraction_forward(
+                    params["attraction"], points_flat, grads, dirs_flat, feats,
+                    cfg.attraction, compute_dtype=fdtype,
+                ).reshape(n_rays, n_samples, 2, 3)
+            w_for_lines = (
+                jax.lax.stop_gradient(weights)
+                if cfg.detach_line_weights
+                else weights
+            )
+            lines3d = jnp.sum(
+                w_for_lines[..., None, None] * lines3d, axis=1
+            )  # (R, 2, 3)
 
     w2c = jnp.linalg.inv(pose)
     rot = w2c[:3, :3]

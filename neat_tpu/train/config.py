@@ -190,15 +190,23 @@ _MODEL_CLASS_MAP: Dict[str, Dict[str, Any]] = {
     "model.networks.neat_wfr_rend.VolSDFNetwork": {"detach_line_weights": False},
     "model.networks.neat_wfr_rend_b.VolSDFNetwork": {"_attraction_mode": "no_view"},
     "model.networks.neat_wfr_rend_c.VolSDFNetwork": {"dbscan_include_global": True},
-    "model.networks.neat_wfr.VolSDFNetwork": {"_attraction_mode": "no_view"},
+    # the wfr/wfr_a/simple family evaluates the attraction net ONCE at the
+    # detached rendered surface point (neat_wfr.py:397-409) instead of the
+    # rend family's per-sample weighted line integral
+    "model.networks.neat_wfr.VolSDFNetwork": {
+        "_attraction_mode": "no_view",
+        "attraction_at_surface": True,
+    },
     "model.networks.neat_wfr_a.VolSDFNetwork": {
         "_attraction_mode": "no_view",
+        "attraction_at_surface": True,
         # wfr_a projects lines3d live into the uncalibrated loss (wfr_a:405)
         "detach_lines2d": False,
     },
     "model.networks.neat_uni.VolSDFNetwork": {"sampler_kind": "uniform"},
     "model.networks.neat_simple.VolSDFNetwork": {
         "_attraction_mode": "no_view",
+        "attraction_at_surface": True,
         "detach_lines2d": False,  # simple:345 projects lines3d live
     },
     "model.networks.neat_wfr_dual.VolSDFNetwork": {"dual_batch": True},
@@ -209,14 +217,35 @@ _MODEL_CLASS_MAP: Dict[str, Dict[str, Any]] = {
 
 _LOSS_CLASS_MAP: Dict[str, Dict[str, Any]] = {
     "model.networks.loss_wfr.VolSDFLoss": {},
-    "model.networks.loss_wfr_a.VolSDFLoss": {"calibrated_branch": False},
+    # wfr_a: uncalibrated line loss + 0.01-scaled j2d assignment cost
+    # (loss_wfr_a.py:112). Its observed-vertex re-matching + median quality
+    # gate is realized by the model-side verts2d assignment + median gate
+    # this architecture always applies (j_local_mask); residual deviation:
+    # the reference matches with an L1 metric, the model gate uses L2.
+    "model.networks.loss_wfr_a.VolSDFLoss": {
+        "calibrated_branch": False,
+        "junction_cost_2d_scale": 0.01,
+    },
     "model.networks.loss_wfr_spd.VolSDFLoss": {"depth_weight": 0.1},
     "model.networks.loss_wfr_rpd.VolSDFLoss": {
         "depth_weight": 0.1,
         "depth_loss_kind": "ssi",
     },
-    "model.networks.loss_wfr_unnormalize.VolSDFLoss": {},
-    "model.networks.loss_jc.VolSDFLoss": {"line_weight": 0.0},
+    # unnormalize: pixel-space line loss, 0.01 j2d cost scale, NaN->1e5
+    # cost guard (the guard is unconditional in neat_loss)
+    "model.networks.loss_wfr_unnormalize.VolSDFLoss": {
+        "calibrated_branch": False,
+        "junction_cost_2d_scale": 0.01,
+    },
+    # jc: pixel-space line loss (conf line_weight), p=2 j3d-only cost,
+    # SQUARED-L2 pair loss at fixed 0.1 weight, no j2d term (loss_jc.py:
+    # 66-77; the constructor takes no junction weights)
+    "model.networks.loss_jc.VolSDFLoss": {
+        "calibrated_branch": False,
+        "junction_mode": "jc",
+        "junction_3d_weight": 0.1,
+        "junction_2d_weight": 0.0,
+    },
     "model.networks.loss_ins.VolSDFLoss": {},
     "model.loss.VolSDFLoss": {"line_weight": 0.0},
 }
@@ -392,7 +421,16 @@ def build_experiment_config(
     ds = conf.get("dataset", {})
     dataset_class = get_path(conf, "train.dataset_class", "")
     dataset_kind = _DATASET_CLASS_MAP.get(dataset_class, "blender")
-    eff_scan = scan_id if scan_id != -1 else int(ds.get("scan_id", -1))
+    # scan ids are ints on DTU/BMVS but directory STRINGS on ScanNet
+    # (scannet_hawp_dataset.py:21-28, default scan 0); keep non-numeric
+    # ids verbatim
+    raw_scan = scan_id if scan_id != -1 else ds.get("scan_id", -1)
+    try:
+        eff_scan = int(raw_scan)
+    except (TypeError, ValueError):
+        eff_scan = str(raw_scan)
+    if eff_scan == -1 and dataset_kind == "scannet":
+        eff_scan = 0
 
     pl = conf.get("plot", {})
     return ExperimentConfig(
@@ -410,7 +448,16 @@ def build_experiment_config(
         data_dir=ds.get("data_dir", ""),
         img_res=_seq(ds.get("img_res"), (512, 512)),
         scan_id=eff_scan,
-        distance_threshold=float(ds.get("distance_threshold", 10.0)),
+        # per-kind reference defaults: 10 px for blender
+        # (blender_hawp_dataset.py:23), 5 px for the DTU/BMVS/ScanNet/
+        # scene-line families (scene_hawp_dataset.py:24 etc.) — dtu.conf /
+        # bmvs.conf set none, so the default IS the flagship behavior
+        distance_threshold=float(
+            ds.get(
+                "distance_threshold",
+                10.0 if dataset_kind in ("blender", "blender_plain") else 5.0,
+            )
+        ),
         line_detector=ds.get("line_detector", "hawp"),
         depth_dir=ds.get("depth_dir"),
         lines_npz=ds.get("lines_npz"),

@@ -199,6 +199,7 @@ class TestSceneLineDepthCues:
         from neat_tpu.model.loss import LossConfig, neat_loss
 
         cfg = LossConfig(depth_weight=0.1, depth_loss_kind="ssi",
+                         depth_mask_zeros=True,  # repaired sparse-cue mode
                          line_weight=0.0, junction_3d_weight=0.0,
                          junction_2d_weight=0.0)
         n = 16
@@ -216,7 +217,9 @@ class TestSceneLineDepthCues:
         }
         gt = {"rgb": jnp.zeros((n, 3)), "depth": jnp.asarray(gt_depth)}
         stats = neat_loss(outputs, gt, cfg)
-        assert float(stats["depth_loss"]) < 1e-8  # unmasked zeros would ruin the fit
+        # unmasked zeros would ruin the fit (loss ~0.1); the alpha-gradient
+        # term is first order in the f32 alignment residual, hence 1e-5
+        assert float(stats["depth_loss"]) < 1e-5
 
     def test_missing_lines_npz_is_a_clear_error(self):
         import pytest
@@ -356,7 +359,76 @@ class TestLoadSceneForConfig:
             cfg = self._cfg(tmp_path, cls, "    " + extra if extra else "")
             scene = load_scene_for_config(cfg, str(tmp_path))
             assert scene.n_images == 2, cls
-            assert (scene.lines is not None) == has_wf, cls
+            if has_wf:
+                assert scene.lines is not None and scene.n_lines.max() > 0, cls
+            else:
+                # plain kinds carry INERT tables so the jitted step traces
+                # (zero-score lines, empty verts mask, full pixel coverage)
+                assert scene.n_lines.max() == 0 and not scene.verts_mask.any(), cls
+
+    def test_plain_dataset_kind_trains(self, tmp_path):
+        """The vanilla (wireframe-less) dataset classes must TRAIN, not
+        just load: the reference pairs them with plain VolSDF and samples
+        pixels uniformly over the whole image (blender_dataset.py:108-112).
+        Previously sample_batch crashed on the missing support tables."""
+        import jax
+
+        from neat_tpu.data.synthetic import generate_scene
+        from neat_tpu.data.datasets import load_scene_for_config
+        from neat_tpu.model.neat import init_neat
+        from neat_tpu.model.loss import LossConfig
+        from neat_tpu.train.step import init_train_state, make_train_step
+        from neat_tpu.train.runner import scene_to_device
+
+        generate_scene(str(tmp_path / "toy"), n_views=2, res=(48, 48))
+        cfg = self._cfg(tmp_path, "datasets.blender_dataset.BlenderDataset")
+        scene = load_scene_for_config(cfg, str(tmp_path))
+        # full-coverage uniform sampling tables
+        assert scene.support_count.tolist() == [48 * 48] * 2
+        assert not scene.verts_mask.any()
+
+        import dataclasses as dc
+
+        mcfg = dc.replace(
+            cfg.model,
+            implicit=dc.replace(cfg.model.implicit, dims=(16,) * 4,
+                                skip_in=(2,), multires=2),
+            sampler=dc.replace(cfg.model.sampler, n_samples=4,
+                               n_samples_eval=8, n_samples_extra=2,
+                               max_total_iters=1),
+        )
+        params = init_neat(jax.random.PRNGKey(0), mcfg)
+        state = init_train_state(params, 5e-4, 0.1, 10)
+        step = make_train_step(
+            mcfg, LossConfig(line_weight=0.0, junction_3d_weight=0.0,
+                             junction_2d_weight=0.0),
+            5e-4, 0.1, 10, n_rays=16, img_width=48, donate=False,
+        )
+        state, aux = step(state, scene_to_device(scene), jax.random.PRNGKey(1))
+        assert np.isfinite(float(np.asarray(aux["loss"])))
+
+    def test_scene_line_kind_samples_all_pixels(self, tmp_path):
+        """scene_line keeps its line tables but draws training pixels from
+        the whole image (scene_line_dataset.py:142-146)."""
+        import json
+
+        from neat_tpu.data.synthetic import generate_scene
+        from neat_tpu.data.datasets import load_scene_for_config
+
+        generate_scene(str(tmp_path / "toy" / "scan1"), n_views=2,
+                       res=(48, 48), convention="dtu")
+        with open(tmp_path / "toy" / "scan1" / "lines.json") as f:
+            gt = json.load(f)
+        j = np.asarray(gt["junctions"], np.float32)
+        np.savez(tmp_path / "lines3d.npz",
+                 lines3d=j[np.asarray(gt["lines"], np.int64)])
+        cfg = self._cfg(
+            tmp_path, "datasets.scene_line_dataset.SceneDataset",
+            f"    scan_id = 1\n    lines_npz = {tmp_path}/lines3d.npz",
+        )
+        scene = load_scene_for_config(cfg, str(tmp_path))
+        assert scene.support_count.tolist() == [48 * 48] * 2
+        assert scene.lines is not None  # line supervision retained
 
     def test_distance_threshold_override(self, tmp_path):
         from neat_tpu.data.synthetic import generate_scene

@@ -37,7 +37,10 @@ class TestSSILoss:
         d = jnp.asarray(rng.rand(256).astype(np.float32) + 0.5)
         pred = 3.7 * d + 1.2  # scaled/shifted prediction of the target
         loss = scale_shift_invariant_loss(pred, d)
-        assert float(loss) < 1e-8
+        # the alpha-gradient term is FIRST order in the f32 alignment
+        # residual (the data term is second order), so exact-affine inputs
+        # land at ~1e-6, not 1e-8
+        assert float(loss) < 1e-4
 
     def test_penalizes_structure_error(self, rng):
         d = jnp.asarray(rng.rand(256).astype(np.float32))
@@ -52,7 +55,7 @@ class TestSSILoss:
         pred = pred.at[:32].set(99.0)
         mask = jnp.arange(64) >= 32
         loss = scale_shift_invariant_loss(pred, d, mask)
-        assert float(loss) < 1e-8
+        assert float(loss) < 1e-4
 
 
 class TestLossVariants:
@@ -85,3 +88,65 @@ class TestLossVariants:
         out, gt = self._outputs(rng)
         losses = neat_loss(out, gt, LossConfig())
         assert "depth_loss" not in losses
+
+
+class TestJunctionModeJC:
+    """loss_jc.py:66-77: p=2 j3d-only assignment cost, SQUARED-L2 pair
+    loss, no j2d term in the total."""
+
+    def test_squared_l2_and_no_j2d(self, rng):
+        v, j = 6, 8
+        outputs = {
+            "rgb_values": jnp.zeros((4, 3)),
+            "grad_theta": jnp.ones((4, 3)),
+            "j3d_local": jnp.asarray(rng.randn(v, 3).astype(np.float32)),
+            "j3d_global": jnp.asarray(rng.randn(j, 3).astype(np.float32)),
+            "j2d_local": jnp.zeros((v, 2)),
+            "j2d_global": jnp.zeros((j, 2)),
+            "j2d_local_calib": jnp.zeros((v, 2)),
+            "j2d_global_calib": jnp.zeros((j, 2)),
+            "j_local_mask": jnp.ones((v,), bool),
+        }
+        gt = {"rgb": jnp.zeros((4, 3))}
+        cfg = LossConfig(junction_mode="jc", junction_3d_weight=0.1,
+                         junction_2d_weight=0.0, assignment_method="callback")
+        stats = neat_loss(outputs, gt, cfg)
+        # oracle: scipy assignment on the p=2 cost, squared-L2 mean
+        from scipy.optimize import linear_sum_assignment
+
+        a = np.asarray(outputs["j3d_local"])
+        b = np.asarray(outputs["j3d_global"])
+        cost = np.linalg.norm(a[:, None] - b[None], axis=-1)
+        ri, ci = linear_sum_assignment(cost)
+        expect = np.mean(((a[ri] - b[ci]) ** 2).sum(-1))
+        np.testing.assert_allclose(float(stats["j3d_loss"]), expect, rtol=1e-5)
+        # j2d plays no role in the total: loss = rgb + eik + 0.1*j3d
+        total = float(stats["rgb_loss"]) + cfg.eikonal_weight * float(
+            stats["eikonal_loss"]
+        ) + 0.1 * float(stats["j3d_loss"])
+        np.testing.assert_allclose(float(stats["loss"]), total, rtol=1e-6)
+
+    def test_cost_2d_scale(self, rng):
+        """The wfr_a/unnormalize variants weight the calibrated-2D cost at
+        0.01 (loss_wfr_a.py:112) — a different scale changes the
+        assignment on a crafted cost where the 2D term is decisive."""
+        outputs = {
+            "rgb_values": jnp.zeros((4, 3)),
+            "grad_theta": jnp.ones((4, 3)),
+            # j3d prefers identity by 0.5 total; the 2D term prefers the
+            # swap by 10 total -> the assignment flips at scale 0.1
+            # (2D contribution 1.0 > 0.5) but not at 0.01 (0.1 < 0.5)
+            "j3d_local": jnp.asarray([[0.0, 0, 0], [0.5, 0, 0]]),
+            "j3d_global": jnp.asarray([[0.1, 0, 0], [0.4, 0, 0]]),
+            "j2d_local": jnp.zeros((2, 2)),
+            "j2d_global": jnp.zeros((2, 2)),
+            "j2d_local_calib": jnp.asarray([[0.0, 0.0], [5.0, 0.0]]),
+            "j2d_global_calib": jnp.asarray([[5.0, 0.0], [0.0, 0.0]]),
+            "j_local_mask": jnp.ones((2,), bool),
+        }
+        gt = {"rgb": jnp.zeros((4, 3))}
+        j01 = neat_loss(outputs, gt, LossConfig(
+            junction_cost_2d_scale=0.01, assignment_method="callback"))
+        j10 = neat_loss(outputs, gt, LossConfig(
+            junction_cost_2d_scale=0.1, assignment_method="callback"))
+        assert float(j01["j3d_loss"]) != float(j10["j3d_loss"])

@@ -87,6 +87,35 @@ class TestForward:
         assert "grad_theta" in out
 
     @pytest.mark.slow
+    def test_attraction_at_surface_variant(self):
+        """neat_wfr/neat_wfr_a/neat_simple (neat_wfr.py:397-409): one
+        attraction evaluation at the DETACHED rendered surface point
+        instead of the rend family's per-sample weighted line integral —
+        both endpoints of each line must bracket the surface point
+        (lines3d = xs +/- offsets), and the result must differ from the
+        integral path."""
+        cfg_i = tiny_cfg()
+        cfg_s = tiny_cfg(attraction_at_surface=True)
+        params = init_neat(jax.random.PRNGKey(0), cfg_i)
+        out_i = neat_forward(params, make_inputs(), cfg_i, jax.random.PRNGKey(1))
+        out_s = neat_forward(params, make_inputs(), cfg_s, jax.random.PRNGKey(1))
+        assert out_s["lines3d"].shape == (16, 2, 3)
+        # surface point = midpoint of the two endpoints (x + off1, x + off2
+        # with off2 = -off1 only at init... the invariant that holds for
+        # any offsets: endpoints are produced AT the surface point, so the
+        # same surface point reproduces them exactly with one more eval
+        assert not np.allclose(
+            np.asarray(out_s["lines3d"]), np.asarray(out_i["lines3d"])
+        )
+        # and the surface path's endpoints must move with the surface
+        # point: same rng, same weights -> xyz identical across variants
+        np.testing.assert_allclose(
+            np.asarray(out_s["xyz"]), np.asarray(out_i["xyz"]), rtol=1e-6
+        )
+        for k in ("lines2d", "lines2d_calib", "l3d"):
+            assert np.isfinite(np.asarray(out_s[k])).all(), k
+
+    @pytest.mark.slow
     def test_uniform_sampler_variant(self):
         cfg = tiny_cfg(sampler_kind="uniform")
         params = init_neat(jax.random.PRNGKey(0), cfg)
