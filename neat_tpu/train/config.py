@@ -365,6 +365,12 @@ def build_experiment_config(
     attraction_mode = variant_overrides.pop("_attraction_mode", None)
     if attraction_mode is not None:
         attraction = dataclasses.replace(attraction, mode=attraction_mode)
+        if attraction_mode == "no_view" and attraction.d_in == 9:
+            # no_view consumes [points, normals, feats] (rend_b:175-183) —
+            # the reference sizes the net from an explicitly-reduced conf
+            # d_in; a conf written for the idr-mode net (d_in = 9) must
+            # shed the 3 view dims or the first matmul width mismatches
+            attraction = dataclasses.replace(attraction, d_in=6)
     straightness = variant_overrides.pop("_straightness", 0.0)
 
     model = NeatConfig(
