@@ -187,6 +187,12 @@ _DATASET_CLASS_MAP = {
 # family, SURVEY.md §2 C34, expressed as flags)
 _MODEL_CLASS_MAP: Dict[str, Dict[str, Any]] = {
     "model.networks.neat_wfr_rend_a.VolSDFNetwork": {},
+    # rend_show is rend_a's forward hacked into an interactive probe
+    # (hardcoded GT-mesh trimesh scene + pdb mid-forward + matplotlib
+    # overlays, rend_show:317-324,416-470); its model behavior is rend_a's.
+    # The overlay itself is the headless
+    # `neat_tpu.wireframe.debug_tools --mode show` CLI
+    "model.networks.neat_wfr_rend_show.VolSDFNetwork": {},
     "model.networks.neat_wfr_rend.VolSDFNetwork": {"detach_line_weights": False},
     "model.networks.neat_wfr_rend_b.VolSDFNetwork": {"_attraction_mode": "no_view"},
     "model.networks.neat_wfr_rend_c.VolSDFNetwork": {"dbscan_include_global": True},

@@ -14,6 +14,14 @@ attraction field:
     per-view support-mask PNGs plus per-label grouped lines3d / l3d points
     / score arrays, the raw material for inspecting which detected lines
     the field has learned.
+  * ``show_view`` — the headless counterpart of the ``neat_wfr_rend_show``
+    model variant (model/networks/neat_wfr_rend_show.py:416-470), which is
+    rend_a's forward hacked into an interactive probe: it loads the GT mesh
+    into a trimesh scene, breaks into pdb mid-forward, and matplotlib-plots
+    the sampled ray extents (red), the distilled attraction lines (blue),
+    and the global junctions (green) projected into the current view.
+    Windowed viewers are impossible headless; this renders the same
+    overlay to a PNG over the view's image and returns the arrays.
 """
 
 from __future__ import annotations
@@ -174,6 +182,91 @@ def debug_recon(
     return result
 
 
+def show_view(
+    params,
+    cfg: NeatConfig,
+    scene,
+    view: int,
+    chunksize: int = 2048,
+    n_rays: int = 64,
+    seed: int = 0,
+    out_path: Optional[str] = None,
+) -> Dict[str, np.ndarray]:
+    """Project the rend_show overlay for one view, headlessly.
+
+    Mirrors reference neat_wfr_rend_show.py:457-468: ``rays2d`` are the
+    projected extents of the per-ray sample interval (the reference plots
+    ``points[:, [0, -1]]`` — the first/last error-bounded samples, i.e.
+    the bounding-sphere entry/exit points, rend_show:459), ``lines2d``
+    the distilled attraction-field segments, ``junctions2d`` the global
+    junction set ``ffn(latents)`` (rend_show:463-464).
+    """
+    import jax.numpy as jnp
+
+    from ..core.camera import (
+        get_camera_params,
+        get_sphere_intersections,
+        project2d,
+    )
+    from ..fields.mlp import global_junctions_forward
+
+    h, w = scene.img_res
+    pix = np.nonzero(scene.mask[view])[0]
+    rs = np.random.RandomState(seed)
+    pick = rs.choice(pix, size=min(n_rays, len(pix)), replace=False)
+    uv = np.stack([pick % w, pick // w], axis=-1).astype(np.float32)
+
+    pose = jnp.asarray(scene.pose[view])
+    intr = jnp.asarray(scene.intrinsics[view])
+    dirs, loc = get_camera_params(jnp.asarray(uv)[None], pose[None], intr[None])
+    dirs = dirs[0]
+    near_far = get_sphere_intersections(
+        jnp.broadcast_to(loc, dirs.shape), dirs,
+        radius=cfg.scene_bounding_sphere,
+    )
+    rays3d = loc[:, None, :] + near_far[..., None] * dirs[:, None, :]
+
+    w2c = jnp.linalg.inv(pose)
+    rot, trans = w2c[:3, :3], w2c[:3, 3]
+    k3 = intr[:3, :3]
+    rays2d = np.asarray(project2d(k3, rot, trans, rays3d))
+
+    _, lines2d, _, _ = view_field_lines(params, cfg, scene, view, chunksize)
+
+    junctions2d = np.zeros((0, 2), dtype=np.float32)
+    if "junctions" in params:
+        gjc3d = global_junctions_forward(params["junctions"], cfg.junctions)
+        junctions2d = np.asarray(project2d(k3, rot, trans, gjc3d))
+
+    result = {
+        "rays2d": rays2d.astype(np.float32),
+        "lines2d": np.asarray(lines2d, dtype=np.float32).reshape(-1, 4),
+        "junctions2d": junctions2d.astype(np.float32),
+    }
+    if out_path is not None:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(w / 100, h / 100), dpi=100)
+        ax.imshow(scene.rgb[view].reshape(h, w, 3).clip(0, 1))
+        r2, l2 = result["rays2d"], result["lines2d"]
+        ax.plot([r2[:, 0, 0], r2[:, 1, 0]], [r2[:, 0, 1], r2[:, 1, 1]], "r-",
+                linewidth=0.5)
+        ax.plot([l2[:, 0], l2[:, 2]], [l2[:, 1], l2[:, 3]], "b-",
+                linewidth=0.5)
+        j2 = result["junctions2d"]
+        if len(j2):
+            ax.plot(j2[:, 0], j2[:, 1], "g.", markersize=2)
+        ax.set_xlim(0, w)
+        ax.set_ylim(h, 0)
+        ax.axis("off")
+        fig.savefig(out_path, bbox_inches="tight", pad_inches=0)
+        plt.close(fig)
+    return result
+
+
 def main(argv=None):
     from ..train.config import load_experiment_config
     from ..train.checkpoint import load_checkpoint
@@ -187,9 +280,10 @@ def main(argv=None):
     parser.add_argument("--checkpoint", default="latest", type=str)
     parser.add_argument("--chunksize", default=2048, type=int)
     parser.add_argument("--data_root", default="../data", type=str)
-    parser.add_argument("--mode", default="recon", choices=["recon", "softmax"])
+    parser.add_argument("--mode", default="recon",
+                        choices=["recon", "softmax", "show"])
     parser.add_argument("--view", default=0, type=int,
-                        help="view index for --mode softmax")
+                        help="view index for --mode softmax/show")
     parser.add_argument("--out", default=None, type=str)
     args = parser.parse_args(argv)
 
@@ -210,6 +304,15 @@ def main(argv=None):
     out_dir = args.out or osp.join(rundir, "debug")
     if args.mode == "recon":
         debug_recon(state.params, cfg.model, scene, out_dir, chunksize=args.chunksize)
+    elif args.mode == "show":
+        os.makedirs(out_dir, exist_ok=True)
+        png = osp.join(out_dir, f"show_view{args.view:04d}.png")
+        res = show_view(
+            state.params, cfg.model, scene, args.view,
+            chunksize=args.chunksize, out_path=png,
+        )
+        print(f"wrote {png} ({res['lines2d'].shape[0]} lines, "
+              f"{res['junctions2d'].shape[0]} junctions)")
     else:
         res = softmax_distill(
             state.params, cfg.model, scene, args.view, chunksize=args.chunksize

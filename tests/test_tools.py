@@ -194,3 +194,42 @@ def test_rehearse_dtu_smoke(tmp_path):
         assert set(section) == {"accuracy_d2s", "completeness_s2d", "overall"}
         for v in section.values():
             assert isinstance(v, float), m
+
+
+def test_show_view_overlay(tmp_path):
+    """The rend_show headless counterpart: project ray extents, field
+    lines, and global junctions for one view and write the overlay PNG
+    (reference model/networks/neat_wfr_rend_show.py:457-468)."""
+    import dataclasses as dc
+
+    import jax
+
+    from neat_tpu.data.datasets import load_scene_for_config
+    from neat_tpu.model.neat import init_neat
+    from neat_tpu.train.config import build_experiment_config, parse_hocon
+    from neat_tpu.wireframe.debug_tools import show_view
+
+    os.makedirs(tmp_path / "toy")
+    generate_scene(str(tmp_path / "toy"), n_views=3, res=(48, 48))
+    cfg = build_experiment_config(parse_hocon(TINY_CONF))
+    mcfg = dc.replace(
+        cfg.model,
+        implicit=dc.replace(cfg.model.implicit, dims=(16,) * 4, skip_in=(2,),
+                            multires=2),
+        junctions=dc.replace(cfg.model.junctions, num_junctions=8,
+                             dim_hidden=16),
+        max_verts=16,
+    )
+    scene = load_scene_for_config(cfg, str(tmp_path))
+    params = init_neat(jax.random.PRNGKey(0), mcfg)
+
+    png = tmp_path / "show.png"
+    res = show_view(params, mcfg, scene, view=0, chunksize=256, n_rays=8,
+                    out_path=str(png))
+    assert png.exists() and png.stat().st_size > 0
+    assert res["rays2d"].shape[1:] == (2, 2)
+    assert res["rays2d"].shape[0] == 8
+    assert res["lines2d"].shape[1] == 4
+    assert res["junctions2d"].shape == (8, 2)
+    for v in res.values():
+        assert np.isfinite(v).all()

@@ -15,6 +15,7 @@ pytestmark = pytest.mark.slow
 
 MODEL_CLASSES = [
     "model.networks.neat_wfr_rend_a.VolSDFNetwork",
+    "model.networks.neat_wfr_rend_show.VolSDFNetwork",
     "model.networks.neat_wfr_rend.VolSDFNetwork",
     "model.networks.neat_wfr_rend_b.VolSDFNetwork",
     "model.networks.neat_wfr_rend_c.VolSDFNetwork",
