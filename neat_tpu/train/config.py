@@ -252,7 +252,17 @@ _LOSS_CLASS_MAP: Dict[str, Dict[str, Any]] = {
         "junction_3d_weight": 0.1,
         "junction_2d_weight": 0.0,
     },
-    "model.networks.loss_ins.VolSDFLoss": {},
+    # ins: uncalibrated-only line loss, junction terms absent
+    # (loss_ins.py:140-146 sums rgb + eikonal + line only). Its fourth
+    # term — ins_weight * Hungarian CE+soft-IoU over
+    # model_outputs['ins'] (loss_ins.py:16-72,133-138) — is dead
+    # upstream: no reference model emits 'ins' and no conf instantiates
+    # this loss (it would KeyError), so only the defined subset maps
+    "model.networks.loss_ins.VolSDFLoss": {
+        "calibrated_branch": False,
+        "junction_3d_weight": 0.0,
+        "junction_2d_weight": 0.0,
+    },
     "model.loss.VolSDFLoss": {"line_weight": 0.0},
 }
 

@@ -33,6 +33,7 @@ LOSS_CLASSES = [
     "model.networks.loss_wfr_a.VolSDFLoss",
     "model.networks.loss_wfr_unnormalize.VolSDFLoss",
     "model.networks.loss_jc.VolSDFLoss",
+    "model.networks.loss_ins.VolSDFLoss",
     "model.loss.VolSDFLoss",
 ]
 
@@ -47,6 +48,15 @@ def scene_dir(tmp_path_factory):
 
 
 def _conf(model_class, loss_class):
+    # the reference instantiates the loss class with the conf loss block as
+    # kwargs; loss_ins/loss_jc constructors take no junction weights, so
+    # real confs for them cannot carry these keys (TypeError upstream)
+    jweights = (
+        ""
+        if loss_class in ("model.networks.loss_ins.VolSDFLoss",
+                          "model.networks.loss_jc.VolSDFLoss")
+        else "junction_3d_weight = 0.1\n    junction_2d_weight = 0.01"
+    )
     return textwrap.dedent(f"""
         train {{
             expname = v
@@ -58,8 +68,7 @@ def _conf(model_class, loss_class):
         loss {{
             eikonal_weight = 0.1
             line_weight = 0.01
-            junction_3d_weight = 0.1
-            junction_2d_weight = 0.01
+            {jweights}
         }}
         dataset {{
             data_dir = toy
@@ -129,3 +138,8 @@ def test_loss_variant_trains(scene_dir, loss_class):
     if loss_class == "model.networks.loss_wfr_unnormalize.VolSDFLoss":
         assert cfg.loss.junction_cost_2d_scale == 0.01
         assert not cfg.loss.calibrated_branch
+    if loss_class == "model.networks.loss_ins.VolSDFLoss":
+        # loss_ins.py:140-146: rgb + eikonal + uncalibrated line only
+        assert not cfg.loss.calibrated_branch
+        assert cfg.loss.junction_3d_weight == 0.0
+        assert cfg.loss.junction_2d_weight == 0.0
