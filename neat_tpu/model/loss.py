@@ -55,11 +55,6 @@ class LossConfig:
     # the fit; False = reference parity (loss_wfr_rpd.py:224 passes an
     # all-ones mask even for its sparse depth_colmap targets)
     depth_mask_zeros: bool = False
-    # >0 adds the along-ray straightness term (the neat_along_ray ablation
-    # family, reference model/neat_along_ray.py:259-411): pull each
-    # predicted 3D segment toward its tangent-plane support point by
-    # penalizing the point-to-line distance
-    straightness_weight: float = 0.0
     assignment_method: str = "auction"
 
 
@@ -209,17 +204,6 @@ def neat_loss(
             )
         loss = loss + cfg.depth_weight * depth_loss
         stats["depth_loss"] = depth_loss
-
-    if cfg.straightness_weight > 0.0 and "lines3d" in outputs and "l3d" in outputs:
-        e1 = outputs["lines3d"][:, 0]
-        e2 = outputs["lines3d"][:, 1]
-        l3d = jax.lax.stop_gradient(outputs["l3d"])
-        dist = jnp.linalg.norm(jnp.cross(l3d - e1, l3d - e2), axis=-1) / jnp.maximum(
-            jnp.linalg.norm(e1 - e2, axis=-1), 1e-6
-        )
-        straightness = jnp.mean(jnp.minimum(dist, 1.0))
-        loss = loss + cfg.straightness_weight * straightness
-        stats["straightness_loss"] = straightness
 
     # ----- junction losses -------------------------------------------------
     j3d_loss = jnp.asarray(0.0)

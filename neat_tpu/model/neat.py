@@ -83,6 +83,15 @@ class NeatConfig:
     # rendered surface point (neat_wfr.py:397-409) instead of the rend
     # family's per-sample weighted line integral
     attraction_at_surface: bool = False
+    # along-ray family (reference model/neat_along_ray.py:329-359): instead
+    # of the weighted line integral, each endpoint track is re-sorted by
+    # its camera distance and volume-rendered with weights from its own
+    # (detached-input) SDF evaluation; emits the reference's per-ray
+    # 'score' = mean of the two tracks' peak weights
+    attraction_aggregation: str = "weighted"  # 'weighted' | 'endpoint_render'
+    # neat_along_ray_v2.py:268,335-336: the endpoint SDF comes from a
+    # SECOND ImplicitNetwork ('neat_sdf') trained only through this term
+    endpoint_sdf_separate: bool = False
     # rend family projects detached lines3d into the uncalibrated 2D loss
     # (rend_a:439); the wfr_a/simple variants project it live (wfr_a:405,
     # simple:345) so their uncalibrated-only losses still carry gradient
@@ -178,6 +187,12 @@ def init_neat(key, cfg: NeatConfig) -> Params:
     if cfg.model_variant == "neat":
         params["attraction"] = init_attraction_net(k3, cfg.attraction)
         params["junctions"] = init_global_junctions(k4, cfg.junctions)
+        if cfg.endpoint_sdf_separate:
+            # along_ray_v2:268: a second ImplicitNetwork built from the
+            # same conf block, trained only through the endpoint term
+            params["neat_sdf"] = init_implicit_net(
+                jax.random.fold_in(k1, 1), cfg.implicit
+            )
     return params
 
 
@@ -384,14 +399,51 @@ def neat_forward(
                     params["attraction"], points_flat, grads, dirs_flat, feats,
                     cfg.attraction, compute_dtype=fdtype,
                 ).reshape(n_rays, n_samples, 2, 3)
-            w_for_lines = (
-                jax.lax.stop_gradient(weights)
-                if cfg.detach_line_weights
-                else weights
-            )
-            lines3d = jnp.sum(
-                w_for_lines[..., None, None] * lines3d, axis=1
-            )  # (R, 2, 3)
+            if cfg.attraction_aggregation == "endpoint_render":
+                # along-ray family (neat_along_ray.py:329-359): re-sort
+                # each endpoint track by its camera distance and
+                # volume-render it with its own SDF weights. The SDF
+                # input is detached (no attraction gradient through it)
+                # but the evaluation still trains the scoring net; v2
+                # scores with the separate 'neat_sdf' network.
+                sdf_params = (
+                    params["neat_sdf"]
+                    if cfg.endpoint_sdf_separate
+                    else params["implicit"]
+                )
+                ends, peaks = [], []
+                for k in (0, 1):
+                    ek = lines3d[:, :, k, :]  # (R, S, 3)
+                    sdf_k = implicit_sdf(
+                        sdf_params,
+                        jax.lax.stop_gradient(ek.reshape(-1, 3)),
+                        cfg.implicit,
+                    )[..., 0].reshape(n_rays, n_samples)
+                    z_k = jax.lax.stop_gradient(
+                        jnp.linalg.norm(ek - cam_loc[:, None, :], axis=-1)
+                    )
+                    order = jnp.argsort(z_k, axis=-1)
+                    z_s = jnp.take_along_axis(z_k, order, axis=-1)
+                    sdf_s = jnp.take_along_axis(sdf_k, order, axis=-1)
+                    ek_s = jnp.take_along_axis(ek, order[..., None], axis=1)
+                    dens_k = laplace_density(
+                        sdf_s, params["density"], beta_min=cfg.density_beta_min
+                    )
+                    w_k = render_weights_from_density(z_s, dens_k)
+                    ends.append(jnp.sum(w_k[..., None] * ek_s, axis=1))
+                    peaks.append(jnp.max(w_k, axis=-1))
+                lines3d = jnp.stack(ends, axis=1)  # (R, 2, 3)
+                # neat_along_ray.py:375: per-ray confidence score
+                out["score"] = 0.5 * (peaks[0] + peaks[1])
+            else:
+                w_for_lines = (
+                    jax.lax.stop_gradient(weights)
+                    if cfg.detach_line_weights
+                    else weights
+                )
+                lines3d = jnp.sum(
+                    w_for_lines[..., None, None] * lines3d, axis=1
+                )  # (R, 2, 3)
 
     w2c = jnp.linalg.inv(pose)
     rot = w2c[:3, :3]

@@ -216,8 +216,21 @@ _MODEL_CLASS_MAP: Dict[str, Dict[str, Any]] = {
         "detach_lines2d": False,  # simple:345 projects lines3d live
     },
     "model.networks.neat_wfr_dual.VolSDFNetwork": {"dual_batch": True},
-    "model.neat_along_ray.VolSDFNetwork": {"_straightness": 0.01},
-    "model.networks.neat_along_ray_v2.VolSDFNetwork": {"_straightness": 0.01},
+    # along-ray family: per-sample no_view attraction whose endpoint
+    # tracks are volume-rendered along their own camera-distance ordering
+    # (neat_along_ray.py:329-359); v2 scores endpoints with a second SDF
+    # net (neat_along_ray_v2.py:268,335-336). Neither has a conf or a
+    # compatible shipped loss upstream (no junction outputs there); here
+    # the junction head stays active as a documented superset
+    "model.neat_along_ray.VolSDFNetwork": {
+        "_attraction_mode": "no_view",
+        "attraction_aggregation": "endpoint_render",
+    },
+    "model.networks.neat_along_ray_v2.VolSDFNetwork": {
+        "_attraction_mode": "no_view",
+        "attraction_aggregation": "endpoint_render",
+        "endpoint_sdf_separate": True,
+    },
     "model.network.VolSDFNetwork": {"model_variant": "volsdf"},
 }
 
@@ -387,7 +400,6 @@ def build_experiment_config(
             # d_in; a conf written for the idr-mode net (d_in = 9) must
             # shed the 3 view dims or the first matmul width mismatches
             attraction = dataclasses.replace(attraction, d_in=6)
-    straightness = variant_overrides.pop("_straightness", 0.0)
 
     model = NeatConfig(
         feature_vector_size=int(m.get("feature_vector_size", 256)),
@@ -421,7 +433,6 @@ def build_experiment_config(
     loss = dataclasses.replace(
         LossConfig(
             rgb_loss="l1" if "L1" in str(rgb_loss_name) else "mse",
-            straightness_weight=straightness,
             assignment_method=assignment_method,
         ),
         **_LOSS_CLASS_MAP.get(loss_class, {}),
@@ -431,7 +442,6 @@ def build_experiment_config(
         "line_weight": float,
         "junction_3d_weight": float,
         "junction_2d_weight": float,
-        "straightness_weight": float,
         "line_gate_px": float,
         "depth_weight": float,
         "depth_loss_kind": str,

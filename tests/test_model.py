@@ -116,6 +116,52 @@ class TestForward:
             assert np.isfinite(np.asarray(out_s[k])).all(), k
 
     @pytest.mark.slow
+    def test_endpoint_render_variant(self):
+        """neat_along_ray(+v2): each endpoint track is re-sorted by camera
+        distance and volume-rendered with its own SDF weights
+        (neat_along_ray.py:329-359), emitting the per-ray 'score'
+        (=0.5*(max w_a + max w_b), :375); v2 scores with a second SDF net
+        trained only through this term (neat_along_ray_v2.py:268,335-336)."""
+        cfg_w = tiny_cfg()
+        cfg_e = tiny_cfg(attraction_aggregation="endpoint_render")
+        params = init_neat(jax.random.PRNGKey(0), cfg_w)
+        out_w = neat_forward(params, make_inputs(), cfg_w, jax.random.PRNGKey(1))
+        out_e = neat_forward(params, make_inputs(), cfg_e, jax.random.PRNGKey(1))
+        assert "score" not in out_w
+        assert out_e["lines3d"].shape == (16, 2, 3)
+        # weights sum to <=1 and are nonnegative, so the peak-weight score
+        # lives in [0, 1]
+        score = np.asarray(out_e["score"])
+        assert score.shape == (16,)
+        assert (score >= 0).all() and (score <= 1).all()
+        # a different aggregation over the same per-sample field
+        assert not np.allclose(
+            np.asarray(out_e["lines3d"]), np.asarray(out_w["lines3d"])
+        )
+        # the main render is untouched by the aggregation choice
+        np.testing.assert_allclose(
+            np.asarray(out_e["rgb_values"]), np.asarray(out_w["rgb_values"]),
+            rtol=1e-6,
+        )
+
+        # v2: a second SDF net exists and receives gradient through the
+        # endpoint weights (its ONLY path into the loss)
+        cfg_v2 = tiny_cfg(
+            attraction_aggregation="endpoint_render", endpoint_sdf_separate=True
+        )
+        params_v2 = init_neat(jax.random.PRNGKey(0), cfg_v2)
+        assert "neat_sdf" in params_v2
+        inputs, gt = make_inputs(), make_gt()
+
+        def loss_fn(p):
+            out = neat_forward(p, inputs, cfg_v2, jax.random.PRNGKey(1))
+            return neat_loss(out, gt, LossConfig())["loss"]
+
+        grads = jax.grad(loss_fn)(params_v2)
+        assert np.abs(np.asarray(grads["neat_sdf"]["lin0"]["v"])).sum() > 0
+        assert np.abs(np.asarray(grads["attraction"]["lin0"]["v"])).sum() > 0
+
+    @pytest.mark.slow
     def test_uniform_sampler_variant(self):
         cfg = tiny_cfg(sampler_kind="uniform")
         params = init_neat(jax.random.PRNGKey(0), cfg)

@@ -25,6 +25,7 @@ MODEL_CLASSES = [
     "model.networks.neat_simple.VolSDFNetwork",
     "model.networks.neat_wfr_dual.VolSDFNetwork",
     "model.neat_along_ray.VolSDFNetwork",
+    "model.networks.neat_along_ray_v2.VolSDFNetwork",
     "model.network.VolSDFNetwork",
 ]
 
@@ -124,6 +125,11 @@ def test_model_variant_trains(scene_dir, model_class):
         assert cfg.model.model_variant == "volsdf"
     if model_class == "model.networks.neat_wfr.VolSDFNetwork":
         assert cfg.model.attraction_at_surface
+    if model_class == "model.neat_along_ray.VolSDFNetwork":
+        assert cfg.model.attraction_aggregation == "endpoint_render"
+        assert not cfg.model.endpoint_sdf_separate
+    if model_class == "model.networks.neat_along_ray_v2.VolSDFNetwork":
+        assert cfg.model.endpoint_sdf_separate
 
 
 @pytest.mark.parametrize("loss_class", LOSS_CLASSES)
