@@ -310,3 +310,63 @@ class TestLossAndGrad:
         l1 = float(step(params, jax.random.PRNGKey(1)))
         l2 = float(step(params, jax.random.PRNGKey(2)))
         assert np.isfinite(l1) and np.isfinite(l2)
+
+
+class TestLineLift:
+    """The vanilla network's abandoned line-lifting forwards
+    (reference model/network.py:234-380), kept on the class surface."""
+
+    @pytest.mark.slow
+    def test_minstance_loss_finite_with_gradient(self):
+        from neat_tpu.model import minstance_loss
+
+        cfg = tiny_cfg(model_variant="volsdf")
+        params = init_neat(jax.random.PRNGKey(0), cfg)
+        base = make_inputs()
+        rng = np.random.RandomState(3)
+        inputs = {
+            "juncs2d": jnp.asarray(rng.rand(6, 2).astype(np.float32) * 64),
+            "edges": jnp.asarray([[0, 1], [2, 3], [4, 5]], dtype=jnp.int32),
+            "weights": jnp.asarray([1.0, 0.5, 0.2], dtype=jnp.float32),
+            "pose": base["pose"],
+            "intrinsics": base["intrinsics"],
+        }
+
+        def f(p):
+            return minstance_loss(p, cfg, inputs, jax.random.PRNGKey(7))
+
+        loss, grads = jax.value_and_grad(f)(params)
+        assert np.isfinite(float(loss))
+        # gradient reaches the implicit net through the lifted points
+        # (the projection target is detached, the points are not)
+        assert np.abs(np.asarray(grads["implicit"]["lin0"]["v"])).sum() > 0
+
+    @pytest.mark.slow
+    def test_two_view_lift_detached_geometry(self):
+        from neat_tpu.model import two_view_lift
+
+        cfg = tiny_cfg(model_variant="volsdf")
+        params = init_neat(jax.random.PRNGKey(0), cfg)
+        base = make_inputs()
+        rng = np.random.RandomState(4)
+        inputs = {
+            "juncs2d": jnp.asarray(rng.rand(4, 2).astype(np.float32) * 64),
+            "edges": jnp.asarray([[0, 1], [2, 3]], dtype=jnp.int32),
+            "weights": jnp.asarray([1.0, 1.0], dtype=jnp.float32),
+            "pose": base["pose"],
+            "intrinsics": base["intrinsics"],
+        }
+        loss, lines3d, pts2d = two_view_lift(
+            params, cfg, inputs, jax.random.PRNGKey(9), n_points=16
+        )
+        assert lines3d.shape == (2, 16, 3)
+        assert pts2d.shape == (2, 16, 2)
+        assert np.isfinite(np.asarray(lines3d)).all()
+        # alignment score: mean |cos - 1| over unit vectors lies in [0, 2]
+        assert 0.0 <= float(loss) <= 2.0
+        # upstream detaches every lifted point (network.py:316): the
+        # training-branch loss is a constant w.r.t. the parameters
+        g = jax.grad(
+            lambda p: two_view_lift(p, cfg, inputs, jax.random.PRNGKey(9))[0]
+        )(params)
+        assert np.abs(np.asarray(g["implicit"]["lin0"]["v"])).sum() == 0
