@@ -121,13 +121,31 @@ def load_model_conf(conf_path: str) -> ConfigTree:
     return as_config_tree(tree["model"])
 
 
-def build_reference_model(conf_path: str):
-    """Instantiate the reference VolSDFNetwork (neat_wfr_rend_a) from a conf
-    file. Requires install_reference_stubs()."""
-    install_reference_stubs()
-    from model.networks.neat_wfr_rend_a import VolSDFNetwork  # type: ignore
+def build_reference_model(
+    conf_path: str,
+    cls: str = "model.networks.neat_wfr_rend_a.VolSDFNetwork",
+    model_overrides: Dict[str, Any] | None = None,
+):
+    """Instantiate a reference VolSDFNetwork variant from a conf file.
 
-    return VolSDFNetwork(load_model_conf(conf_path))
+    ``cls`` is the reference class path (default: the canonical rend_a);
+    ``model_overrides`` sets dotted model{} keys before construction (e.g.
+    ``{"attraction_network.d_in": 6}`` for the rend_b no_view net, whose
+    conf must shed the 3 view dims). Requires install_reference_stubs().
+    """
+    install_reference_stubs()
+    import importlib
+
+    conf = load_model_conf(conf_path)
+    for path, value in (model_overrides or {}).items():
+        node = conf
+        parts = path.split(".")
+        for p in parts[:-1]:
+            node = node[p]
+        node[parts[-1]] = value
+    module_name, cls_name = cls.rsplit(".", 1)
+    mod = importlib.import_module(module_name)
+    return getattr(mod, cls_name)(conf)
 
 
 def build_reference_loss(**kwargs):

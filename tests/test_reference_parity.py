@@ -489,3 +489,70 @@ def test_train_forward_loss_and_gradients(env):
         if err > worst[1]:
             worst = (key, err)
     print(f"worst gradient diff: {worst[0]} = {worst[1]:.3e}")
+
+
+# ---------------------------------------------------------------------------
+# 5. rend_b: view-independent attraction (neat_wfr_rend_b.py:175-183,376)
+# ---------------------------------------------------------------------------
+
+
+def test_rend_b_noview_parity(env):
+    """Build the reference rend_b from the same conf with attraction
+    d_in=6 (the reduction build_experiment_config applies for no_view
+    confs written at the idr width), strict-load our no_view weights,
+    and diff the attraction field forward plus the eval-mode wireframe
+    outputs."""
+    import dataclasses
+
+    from neat_tpu.fields.mlp import attraction_forward, implicit_sdf_feat_grad
+
+    cfg_b = dataclasses.replace(
+        env.cfg,
+        attraction=dataclasses.replace(
+            env.cfg.attraction, mode="no_view", d_in=6
+        ),
+    )
+    params = _f64(_wiggle(init_neat(jax.random.PRNGKey(2), cfg_b), seed=13))
+    ref = build_reference_model(
+        CONF,
+        cls="model.networks.neat_wfr_rend_b.VolSDFNetwork",
+        model_overrides={"attraction_network.d_in": 6},
+    )
+    state = params_to_reference_state(params, cfg_b, dtype=np.float64)
+    res = ref.load_state_dict(state, strict=True)
+    assert not res.missing_keys and not res.unexpected_keys
+    ref.double()
+
+    # field-level: rend_b's attraction signature is (points, normals, feats)
+    rs = np.random.RandomState(21)
+    pts = rs.uniform(-1.2, 1.2, size=(257, 3))
+    dirs = rs.normal(size=(257, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    jp = jnp.asarray(pts)
+    sdf, feats, grads = implicit_sdf_feat_grad(
+        params["implicit"], jp, cfg_b.implicit
+    )
+    lines = attraction_forward(
+        params["attraction"], jp, grads, jnp.asarray(dirs), feats,
+        cfg_b.attraction,
+    )
+    tp = torch.as_tensor(pts)
+    rsdf, rfeat, rgrad = ref.implicit_network.get_outputs(tp.clone())
+    rlines = ref.attraction_network(tp, rgrad, rfeat)
+    _assert_close("rend_b:attraction", lines.reshape(-1, 2, 3), rlines)
+
+    # eval-mode forward: the wireframe outputs ride the no_view field
+    ref.eval()
+    try:
+        with _pin_cdf_boundary():
+            ref_out = ref(env.torch_inputs())
+    finally:
+        ref.train()
+    with _pin_cdf_boundary():
+        out = neat_forward(
+            params, env.jax_inputs(), cfg_b, jax.random.PRNGKey(0),
+            training=False,
+        )
+    for key in ("lines3d", "lines2d", "lines2d_calib", "l3d"):
+        _assert_close(f"rend_b:{key}", out[key], ref_out[key], atol=1e-5,
+                      rtol=1e-5)
