@@ -131,7 +131,10 @@ def build_reference_model(
     ``cls`` is the reference class path (default: the canonical rend_a);
     ``model_overrides`` sets dotted model{} keys before construction (e.g.
     ``{"attraction_network.d_in": 6}`` for the rend_b no_view net, whose
-    conf must shed the 3 view dims). Requires install_reference_stubs().
+    conf must shed the 3 view dims). A ``None`` value DELETES the key —
+    some variant constructors reject keys the live confs carry (e.g.
+    neat_along_ray's AttractionFieldNetwork takes no ``mode``). Requires
+    install_reference_stubs().
     """
     install_reference_stubs()
     import importlib
@@ -142,21 +145,30 @@ def build_reference_model(
         parts = path.split(".")
         for p in parts[:-1]:
             node = node[p]
-        node[parts[-1]] = value
+        if value is None:
+            node.pop(parts[-1], None)
+        else:
+            node[parts[-1]] = value
     module_name, cls_name = cls.rsplit(".", 1)
     mod = importlib.import_module(module_name)
     return getattr(mod, cls_name)(conf)
 
 
-def build_reference_loss(**kwargs):
-    """Instantiate the reference VolSDFLoss (loss_wfr.py:16-24)."""
+def build_reference_loss(
+    cls: str = "model.networks.loss_wfr.VolSDFLoss", **kwargs
+):
+    """Instantiate a reference VolSDFLoss variant (default loss_wfr.py:16-24);
+    ``cls`` picks the ablation class (loss_jc, loss_wfr_unnormalize, ...)."""
     install_reference_stubs()
-    from model.networks.loss_wfr import VolSDFLoss  # type: ignore
+    import importlib
+
+    module_name, cls_name = cls.rsplit(".", 1)
+    mod = importlib.import_module(module_name)
 
     kwargs.setdefault("rgb_loss", "torch.nn.L1Loss")
     kwargs.setdefault("eikonal_weight", 0.1)
     kwargs.setdefault("line_weight", 0.01)
-    return VolSDFLoss(**kwargs)
+    return getattr(mod, cls_name)(**kwargs)
 
 
 class WireframeStub:

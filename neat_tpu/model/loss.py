@@ -46,6 +46,11 @@ class LossConfig:
     # losses; 'jc' = loss_jc.py:66-68: L2 (p=2) j3d-only cost with a
     # SQUARED-L2 pair loss and no j2d term
     junction_mode: str = "wfr"
+    # unnormalize gates its j2d_stat (and jcount) by the <10px PIXEL-space
+    # pair distance (loss_wfr_unnormalize.py:102-105,139) instead of
+    # loss_wfr's ungated mean / assignment-cost-gated count (loss_wfr.py:
+    # 116-126)
+    junction_stat_gated: bool = False
     depth_weight: float = 0.0  # >0 adds the loss_wfr_spd depth term
     # 'l1' (loss_wfr_spd) or 'ssi' — the scale-and-shift-invariant monodepth
     # loss of loss_wfr_rpd.py:85-189 (per-batch closed-form scale/shift)
@@ -259,10 +264,17 @@ def neat_loss(
         )
         j2d_loss = jnp.sum(jnp.where(valid, pair_l2d, 0.0)) / n_valid
         pair_l2d_u = jnp.sum(jnp.abs(j2d_local - sel(j2d_global)), axis=-1)
-        j2d_stat = jnp.sum(jnp.where(valid, pair_l2d_u, 0.0)) / n_valid
-
-        assign_cost = jnp.take_along_axis(cost, col_idx[:, None], axis=1)[:, 0]
-        jcount = jnp.sum(valid & (assign_cost < 10.0)).astype(jnp.float32)
+        if cfg.junction_stat_gated:
+            stat_mask = valid & (pair_l2d_u < 10.0)
+            n_stat = jnp.maximum(jnp.sum(stat_mask), 1.0)
+            j2d_stat = jnp.sum(jnp.where(stat_mask, pair_l2d_u, 0.0)) / n_stat
+            jcount = jnp.sum(stat_mask).astype(jnp.float32)
+        else:
+            j2d_stat = jnp.sum(jnp.where(valid, pair_l2d_u, 0.0)) / n_valid
+            assign_cost = jnp.take_along_axis(
+                cost, col_idx[:, None], axis=1
+            )[:, 0]
+            jcount = jnp.sum(valid & (assign_cost < 10.0)).astype(jnp.float32)
 
         loss = loss + cfg.junction_3d_weight * j3d_loss + cfg.junction_2d_weight * j2d_loss
 

@@ -255,6 +255,7 @@ _LOSS_CLASS_MAP: Dict[str, Dict[str, Any]] = {
     "model.networks.loss_wfr_unnormalize.VolSDFLoss": {
         "calibrated_branch": False,
         "junction_cost_2d_scale": 0.01,
+        "junction_stat_gated": True,
     },
     # jc: pixel-space line loss (conf line_weight), p=2 j3d-only cost,
     # SQUARED-L2 pair loss at fixed 0.1 weight, no j2d term (loss_jc.py:

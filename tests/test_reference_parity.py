@@ -556,3 +556,165 @@ def test_rend_b_noview_parity(env):
     for key in ("lines3d", "lines2d", "lines2d_calib", "l3d"):
         _assert_close(f"rend_b:{key}", out[key], ref_out[key], atol=1e-5,
                       rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# 6. along-ray: endpoint volume-rendering aggregation (neat_along_ray.py)
+# ---------------------------------------------------------------------------
+
+
+def test_along_ray_endpoint_render_parity(env):
+    """The endpoint tracks' re-sort + own-SDF volume rendering
+    (neat_along_ray.py:329-359) and the per-ray peak-weight score (:375),
+    diffed against the reference class in eval mode with shared weights."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        env.cfg,
+        attraction=dataclasses.replace(
+            env.cfg.attraction, mode="no_view", d_in=6
+        ),
+        attraction_aggregation="endpoint_render",
+    )
+    params = _f64(_wiggle(init_neat(jax.random.PRNGKey(3), cfg), seed=17))
+    ref = build_reference_model(
+        CONF,
+        cls="model.neat_along_ray.VolSDFNetwork",
+        model_overrides={
+            "attraction_network.d_in": 6,
+            # this variant's AttractionFieldNetwork takes no mode kwarg
+            "attraction_network.mode": None,
+        },
+    )
+    # the along-ray class has no global-junction head
+    state = params_to_reference_state(params, cfg, dtype=np.float64)
+    state = {
+        k: v
+        for k, v in state.items()
+        if k != "latents" and not k.startswith("ffn.")
+    }
+    res = ref.load_state_dict(state, strict=True)
+    assert not res.missing_keys and not res.unexpected_keys
+    ref.double()
+
+    ref.eval()
+    try:
+        with _pin_cdf_boundary():
+            ref_out = ref(env.torch_inputs())
+    finally:
+        ref.train()
+    with _pin_cdf_boundary():
+        out = neat_forward(
+            params, env.jax_inputs(), cfg, jax.random.PRNGKey(0),
+            training=False,
+        )
+    for key in ("rgb_values", "depth", "xyz", "lines3d", "lines2d", "score"):
+        _assert_close(f"along_ray:{key}", out[key], ref_out[key], atol=1e-5,
+                      rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# 7. loss variants: same forward outputs, every mapped ablation loss diffed
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def train_pair(env):
+    """One shared train-mode forward (both frameworks, shared draws) plus a
+    synthetic sparse depth-cue map for the spd/rpd variants."""
+    draws = DeterministicDraws(seed=4321)
+    inputs = env.torch_inputs()
+    with patch_torch_rng(draws), _pin_cdf_boundary():
+        ref_out = env.ref(inputs)
+    with patch_jax_rng(draws), _pin_cdf_boundary():
+        out = neat_forward(
+            env.params, env.jax_inputs(), env.cfg, jax.random.PRNGKey(0),
+            training=True,
+        )
+    rs = np.random.RandomState(17)
+    depth = rs.uniform(1.0, 3.5, size=(N_RAYS,))
+    depth[rs.rand(N_RAYS) < 0.3] = 0.0  # sparse cues: 0 = no depth
+    return ref_out, out, depth
+
+
+LOSS_VARIANTS = [
+    # (reference class, ref ctor kwargs, map flags delta, loss-dict keys)
+    (
+        "model.networks.loss_jc.VolSDFLoss",
+        {},
+        {"calibrated_branch": False, "junction_mode": "jc",
+         "junction_3d_weight": 0.1, "junction_2d_weight": 0.0},
+        ["loss", "rgb_loss", "eikonal_loss", "line_loss", "j3d_loss"],
+    ),
+    (
+        "model.networks.loss_wfr_unnormalize.VolSDFLoss",
+        {},
+        {"calibrated_branch": False, "junction_cost_2d_scale": 0.01,
+         "junction_stat_gated": True},
+        ["loss", "rgb_loss", "eikonal_loss", "line_loss", "j3d_loss",
+         "j2d_loss", "j2d_stat"],
+    ),
+    (
+        "model.networks.loss_wfr_spd.VolSDFLoss",
+        {"depth_weight": 0.1},
+        {"depth_weight": 0.1},
+        ["loss", "rgb_loss", "eikonal_loss", "line_loss", "l2d_loss",
+         "j3d_loss", "j2d_loss", "j2d_stat", "depth_loss"],
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "ref_cls,ref_kwargs,flags,keys",
+    LOSS_VARIANTS,
+    ids=[v[0].rsplit(".", 2)[-2] for v in LOSS_VARIANTS],
+)
+def test_loss_variant_parity(env, train_pair, ref_cls, ref_kwargs, flags, keys):
+    ref_out, out, depth = train_pair
+
+    ref_loss = build_reference_loss(cls=ref_cls, **ref_kwargs)
+    torch_gt = env.torch_gt()
+    torch_gt["depth_colmap"] = torch.as_tensor(depth)[None]
+    ref_loss_out = ref_loss(ref_out, torch_gt)
+
+    jax_gt = env.jax_gt()
+    jax_gt["depth"] = jnp.asarray(depth)
+    loss_cfg = LossConfig(assignment_method="callback", **flags)
+    loss_out = neat_loss(out, jax_gt, loss_cfg)
+
+    for key in keys:
+        _assert_close(f"{ref_cls}:{key}", loss_out[key], ref_loss_out[key],
+                      atol=1e-8, rtol=1e-7)
+    assert float(loss_out["count"]) == float(ref_loss_out["count"])
+    if "jcount" in keys:
+        assert float(loss_out["jcount"]) == float(ref_loss_out["jcount"])
+
+
+def test_ssi_depth_loss_parity():
+    """The rpd variant's MiDaS scale-and-shift-invariant loss (reference
+    loss_wfr_rpd.py:15-144, constructed with alpha=0.5, scales=1 at :155)
+    against our closed-form implementation, with the reference's all-ones
+    mask over a sparse (zero-holed) target (loss_wfr_rpd.py:224)."""
+    import importlib
+
+    from neat_tpu.interop.reference_runtime import install_reference_stubs
+    from neat_tpu.model.loss import scale_shift_invariant_loss
+
+    install_reference_stubs()
+    rpd = importlib.import_module("model.networks.loss_wfr_rpd")
+
+    rs = np.random.RandomState(5)
+    pred = rs.uniform(0.5, 4.0, size=(1024,))
+    target = rs.uniform(1.0, 3.5, size=(1024,))
+    target[rs.rand(1024) < 0.3] = 0.0
+
+    ref_fn = rpd.ScaleAndShiftInvariantLoss(alpha=0.5, scales=1)
+    ref = ref_fn(
+        torch.as_tensor(pred).reshape(1, 32, 32),
+        torch.as_tensor(target).reshape(1, 32, 32),
+        torch.ones((1, 32, 32), dtype=torch.float64),
+    )
+    ours = scale_shift_invariant_loss(
+        jnp.asarray(pred, jnp.float64), jnp.asarray(target, jnp.float64)
+    )
+    _assert_close("ssi_depth", ours, ref)
