@@ -718,3 +718,93 @@ def test_ssi_depth_loss_parity():
         jnp.asarray(pred, jnp.float64), jnp.asarray(target, jnp.float64)
     )
     _assert_close("ssi_depth", ours, ref)
+
+
+# ---------------------------------------------------------------------------
+# 8. rend: non-detached line weights (gradient-level) + uniform sampler
+# ---------------------------------------------------------------------------
+
+
+def test_rend_nondetached_gradient_parity(env):
+    """neat_wfr_rend's single delta vs rend_a is the LIVE volume-rendering
+    weights in the line integral (rend:377 vs rend_a:410). Pin it at the
+    gradient level: shared draws, loss_wfr, full backward in both
+    frameworks with detach_line_weights=False."""
+    import dataclasses
+
+    ref = build_reference_model(
+        CONF, cls="model.networks.neat_wfr_rend.VolSDFNetwork"
+    )
+    state = params_to_reference_state(env.params, env.cfg, dtype=np.float64)
+    res = ref.load_state_dict(state, strict=True)
+    assert not res.missing_keys and not res.unexpected_keys
+    ref.double()
+
+    draws = DeterministicDraws(seed=777)
+    with patch_torch_rng(draws), _pin_cdf_boundary():
+        ref_out = ref(env.torch_inputs())
+    ref_loss_out = build_reference_loss()(ref_out, env.torch_gt())
+
+    cfg = dataclasses.replace(env.cfg, detach_line_weights=False)
+    loss_cfg = LossConfig(assignment_method="callback")
+
+    def f(params):
+        out = neat_forward(
+            params, env.jax_inputs(), cfg, jax.random.PRNGKey(0), training=True
+        )
+        return neat_loss(out, env.jax_gt(), loss_cfg)["loss"]
+
+    with patch_jax_rng(draws), _pin_cdf_boundary():
+        loss_val, grads = jax.value_and_grad(f)(env.params)
+
+    _assert_close("rend:loss", loss_val, ref_loss_out["loss"], atol=1e-9,
+                  rtol=1e-8)
+    ref_loss_out["loss"].backward()
+    grad_state = params_to_reference_state(grads, env.cfg, dtype=np.float64)
+    named = dict(ref.named_parameters())
+    for key, g_ours in grad_state.items():
+        g_ref = named[key].grad
+        if g_ref is None:
+            g_ref = torch.zeros_like(named[key])
+        _assert_close(f"rend:grad:{key}", g_ours.reshape(g_ref.shape), g_ref,
+                      atol=1e-7, rtol=1e-5)
+
+
+def test_uniform_sampler_parity(env):
+    """The neat_uni family's UniformSampler (ray_sampler.py:61-95) against
+    uniform_z_vals, eval mode (deterministic linspace; the reference class
+    also returns ONLY z_vals — its `return z_vals, z_samples_eik` is
+    commented out, so neat_uni's 2-tuple unpack of it is broken upstream
+    for any batch size != 2; the sampler math itself is what's pinned)."""
+    from neat_tpu.core.camera import get_camera_params
+    from neat_tpu.sampling.samplers import UniformSamplerConfig, uniform_z_vals
+
+    install = __import__(
+        "neat_tpu.interop.reference_runtime", fromlist=["install_reference_stubs"]
+    ).install_reference_stubs
+    install()
+    from model.ray_sampler import UniformSampler  # type: ignore
+
+    ray_dirs, cam_loc = _rays(env)
+
+    for take_sphere in (False, True):
+        ucfg = UniformSamplerConfig(
+            scene_bounding_sphere=3.0, near=0.0, n_samples=32,
+            take_sphere_intersection=take_sphere,
+        )
+        ours = uniform_z_vals(
+            jax.random.PRNGKey(0), ray_dirs, cam_loc, ucfg, training=False
+        )
+        ref_sampler = UniformSampler(
+            3.0, near=0.0, N_samples=32, take_sphere_intersection=take_sphere
+        )
+
+        class _M:
+            training = False
+
+        ref_z = ref_sampler.get_z_vals(
+            torch.as_tensor(np.asarray(ray_dirs)),
+            torch.as_tensor(np.asarray(cam_loc)),
+            _M(),
+        )
+        _assert_close(f"uniform_z(sphere={take_sphere})", ours, ref_z)
