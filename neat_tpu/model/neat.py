@@ -83,6 +83,13 @@ class NeatConfig:
     # rendered surface point (neat_wfr.py:397-409) instead of the rend
     # family's per-sample weighted line integral
     attraction_at_surface: bool = False
+    # wfr/simple eval branch (neat_wfr.py:469-474, neat_simple.py:359-363):
+    # in eval mode, re-evaluate the attraction at the tangent-plane point
+    # l3d with fresh detached implicit outputs, overriding lines3d/lines2d
+    # and the 'sdf' output (lines2d_calib intentionally keeps the
+    # surface-point segments — upstream leaves it stale). wfr_a has this
+    # branch commented out (wfr_a:422-425), so it gets its own flag
+    eval_attraction_at_l3d: bool = False
     # along-ray family (reference model/neat_along_ray.py:329-359): instead
     # of the weighted line integral, each endpoint track is re-sorted by
     # its camera distance and volume-rendered with weights from its own
@@ -480,6 +487,25 @@ def neat_forward(
         jnp.linalg.norm(jnp.cross(l3d - e1, l3d - e2), axis=-1)
         / jnp.maximum(jnp.linalg.norm(e1 - e2, axis=-1), 1e-6)
     )
+
+    if cfg.eval_attraction_at_l3d and not training:
+        # wfr/simple eval branch: attraction re-evaluated at l3d with fresh
+        # detached implicit outputs; the 'sdf' output follows (neat_wfr.py:
+        # 469-474 rebinds points3d_sdf), lines2d_calib stays surface-based
+        l3d_stop = jax.lax.stop_gradient(l3d)
+        points3d_sdf, l3d_feats, l3d_grads = implicit_sdf_feat_grad(
+            params["implicit"], l3d_stop, cfg.implicit
+        )
+        lines3d = attraction_forward(
+            params["attraction"],
+            l3d_stop,
+            jax.lax.stop_gradient(l3d_grads),
+            jax.lax.stop_gradient(ray_dirs),
+            jax.lax.stop_gradient(l3d_feats),
+            cfg.attraction,
+            compute_dtype=fdtype,
+        ).reshape(n_rays, 2, 3)
+        lines2d = project2d(k3, rot, trans, lines3d)
 
     out.update(
         {

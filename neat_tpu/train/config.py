@@ -202,6 +202,7 @@ _MODEL_CLASS_MAP: Dict[str, Dict[str, Any]] = {
     "model.networks.neat_wfr.VolSDFNetwork": {
         "_attraction_mode": "no_view",
         "attraction_at_surface": True,
+        "eval_attraction_at_l3d": True,  # neat_wfr.py:469-474
     },
     "model.networks.neat_wfr_a.VolSDFNetwork": {
         "_attraction_mode": "no_view",
@@ -213,6 +214,7 @@ _MODEL_CLASS_MAP: Dict[str, Dict[str, Any]] = {
     "model.networks.neat_simple.VolSDFNetwork": {
         "_attraction_mode": "no_view",
         "attraction_at_surface": True,
+        "eval_attraction_at_l3d": True,  # neat_simple.py:359-363
         "detach_lines2d": False,  # simple:345 projects lines3d live
     },
     "model.networks.neat_wfr_dual.VolSDFNetwork": {"dual_batch": True},

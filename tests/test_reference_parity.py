@@ -808,3 +808,50 @@ def test_uniform_sampler_parity(env):
             _M(),
         )
         _assert_close(f"uniform_z(sphere={take_sphere})", ours, ref_z)
+
+
+def test_wfr_surface_attraction_eval_parity(env):
+    """neat_wfr: one attraction evaluation at the detached surface point
+    (neat_wfr.py:408) and, in eval mode, the live re-evaluation at the
+    tangent-plane point l3d that rebinds lines3d/lines2d and the sdf
+    output (neat_wfr.py:469-474,484)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        env.cfg,
+        attraction=dataclasses.replace(
+            env.cfg.attraction, mode="no_view", d_in=6
+        ),
+        attraction_at_surface=True,
+        eval_attraction_at_l3d=True,
+    )
+    params = _f64(_wiggle(init_neat(jax.random.PRNGKey(4), cfg), seed=23))
+    ref = build_reference_model(
+        CONF,
+        cls="model.networks.neat_wfr.VolSDFNetwork",
+        model_overrides={
+            "attraction_network.d_in": 6,
+            # this variant's AttractionFieldNetwork takes no mode kwarg
+            "attraction_network.mode": None,
+        },
+    )
+    state = params_to_reference_state(params, cfg, dtype=np.float64)
+    res = ref.load_state_dict(state, strict=True)
+    assert not res.missing_keys and not res.unexpected_keys
+    ref.double()
+
+    ref.eval()
+    try:
+        with _pin_cdf_boundary():
+            ref_out = ref(env.torch_inputs())
+    finally:
+        ref.train()
+    with _pin_cdf_boundary():
+        out = neat_forward(
+            params, env.jax_inputs(), cfg, jax.random.PRNGKey(0),
+            training=False,
+        )
+    for key in ("rgb_values", "depth", "xyz", "points3d", "l3d", "lines3d",
+                "lines2d", "lines2d_calib", "sdf", "normal_map"):
+        _assert_close(f"wfr:{key}", out[key], ref_out[key], atol=1e-5,
+                      rtol=1e-5)
