@@ -209,8 +209,17 @@ _MODEL_CLASS_MAP: Dict[str, Dict[str, Any]] = {
         "attraction_at_surface": True,
         # wfr_a projects lines3d live into the uncalibrated loss (wfr_a:405)
         "detach_lines2d": False,
+        # residual deviations (documented): wfr_a drops the MODEL-side
+        # observed-vertex match/median gate (its loss re-matches and
+        # median-WEIGHTS instead, loss_wfr_a.py:96-131) — here the gate
+        # stays model-side; and wfr_a/simple use the naive x/x[-1]
+        # perspective division where ours is sign-safe everywhere
     },
     "model.networks.neat_uni.VolSDFNetwork": {"sampler_kind": "uniform"},
+    # simple upstream has NO global-junction head, no calib projection,
+    # and pairs with no shipped loss (every junction-reading loss would
+    # KeyError on it); the junction machinery stays active here as a
+    # documented superset
     "model.networks.neat_simple.VolSDFNetwork": {
         "_attraction_mode": "no_view",
         "attraction_at_surface": True,
