@@ -226,7 +226,15 @@ _MODEL_CLASS_MAP: Dict[str, Dict[str, Any]] = {
         "eval_attraction_at_l3d": True,  # neat_simple.py:359-363
         "detach_lines2d": False,  # simple:345 projects lines3d live
     },
-    "model.networks.neat_wfr_dual.VolSDFNetwork": {"dual_batch": True},
+    # dual's wireframe pass evaluates the attraction ONCE at the detached
+    # surface point with detached no_view implicit outputs (dual:433, and
+    # eval forward :563) — the wfr convention, not the rend per-sample
+    # integral; its eval l3d re-eval is commented out (:627)
+    "model.networks.neat_wfr_dual.VolSDFNetwork": {
+        "dual_batch": True,
+        "_attraction_mode": "no_view",
+        "attraction_at_surface": True,
+    },
     # along-ray family: per-sample no_view attraction whose endpoint
     # tracks are volume-rendered along their own camera-distance ordering
     # (neat_along_ray.py:329-359); v2 scores endpoints with a second SDF

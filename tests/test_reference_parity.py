@@ -855,3 +855,50 @@ def test_wfr_surface_attraction_eval_parity(env):
                 "lines2d", "lines2d_calib", "sdf", "normal_map"):
         _assert_close(f"wfr:{key}", out[key], ref_out[key], atol=1e-5,
                       rtol=1e-5)
+
+
+def test_dual_eval_forward_parity(env):
+    """neat_wfr_dual's eval forward (dual:502,563): surface-point no_view
+    attraction, NO l3d re-evaluation (commented upstream, dual:627). The
+    two-pass batching itself is step-level and covered by
+    tests/test_parallel.py's dual-batch equivalence; this pins the model
+    convention the dual class shares with wfr."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        env.cfg,
+        attraction=dataclasses.replace(
+            env.cfg.attraction, mode="no_view", d_in=6
+        ),
+        attraction_at_surface=True,
+        dual_batch=True,
+    )
+    params = _f64(_wiggle(init_neat(jax.random.PRNGKey(5), cfg), seed=29))
+    ref = build_reference_model(
+        CONF,
+        cls="model.networks.neat_wfr_dual.VolSDFNetwork",
+        model_overrides={
+            "attraction_network.d_in": 6,
+            "attraction_network.mode": None,
+        },
+    )
+    state = params_to_reference_state(params, cfg, dtype=np.float64)
+    res = ref.load_state_dict(state, strict=True)
+    assert not res.missing_keys and not res.unexpected_keys
+    ref.double()
+
+    ref.eval()
+    try:
+        with _pin_cdf_boundary():
+            ref_out = ref(env.torch_inputs())
+    finally:
+        ref.train()
+    with _pin_cdf_boundary():
+        out = neat_forward(
+            params, env.jax_inputs(), cfg, jax.random.PRNGKey(0),
+            training=False,
+        )
+    for key in ("rgb_values", "depth", "xyz", "l3d", "lines3d", "lines2d",
+                "lines2d_calib", "sdf", "normal_map"):
+        _assert_close(f"dual:{key}", out[key], ref_out[key], atol=1e-5,
+                      rtol=1e-5)
