@@ -902,3 +902,57 @@ def test_dual_eval_forward_parity(env):
                 "lines2d_calib", "sdf", "normal_map"):
         _assert_close(f"dual:{key}", out[key], ref_out[key], atol=1e-5,
                       rtol=1e-5)
+
+
+def test_simple_eval_forward_parity(env):
+    """neat_simple: surface-point no_view attraction with the LIVE
+    uncalibrated projection (simple:345), the eval-mode l3d re-evaluation
+    (simple:359-363), and NO junction head or calibrated output upstream
+    (ours keeps both as a documented superset — the comparison takes the
+    reference's key set)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        env.cfg,
+        attraction=dataclasses.replace(
+            env.cfg.attraction, mode="no_view", d_in=6
+        ),
+        attraction_at_surface=True,
+        eval_attraction_at_l3d=True,
+        detach_lines2d=False,
+    )
+    params = _f64(_wiggle(init_neat(jax.random.PRNGKey(6), cfg), seed=31))
+    ref = build_reference_model(
+        CONF,
+        cls="model.networks.neat_simple.VolSDFNetwork",
+        model_overrides={
+            "attraction_network.d_in": 6,
+            "attraction_network.mode": None,
+        },
+    )
+    state = params_to_reference_state(params, cfg, dtype=np.float64)
+    # simple has no global-junction head
+    state = {
+        k: v
+        for k, v in state.items()
+        if k != "latents" and not k.startswith("ffn.")
+    }
+    res = ref.load_state_dict(state, strict=True)
+    assert not res.missing_keys and not res.unexpected_keys
+    ref.double()
+
+    ref.eval()
+    try:
+        with _pin_cdf_boundary():
+            ref_out = ref(env.torch_inputs())
+    finally:
+        ref.train()
+    with _pin_cdf_boundary():
+        out = neat_forward(
+            params, env.jax_inputs(), cfg, jax.random.PRNGKey(0),
+            training=False,
+        )
+    for key in ("rgb_values", "depth", "xyz", "points3d", "l3d", "lines3d",
+                "lines2d", "sdf", "normal_map"):
+        _assert_close(f"simple:{key}", out[key], ref_out[key], atol=1e-5,
+                      rtol=1e-5)
