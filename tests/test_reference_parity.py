@@ -646,6 +646,16 @@ LOSS_VARIANTS = [
          "junction_3d_weight": 0.1, "junction_2d_weight": 0.0},
         ["loss", "rgb_loss", "eikonal_loss", "line_loss", "j3d_loss"],
     ),
+    # wfr_a: non-junction terms only — its junction branch re-matches
+    # observed vertices on the LOSS side with a median WEIGHT, where this
+    # architecture keeps the gate model-side (documented deviation in the
+    # config map), so the junction values and total differ by design
+    (
+        "model.networks.loss_wfr_a.VolSDFLoss",
+        {},
+        {"calibrated_branch": False, "junction_cost_2d_scale": 0.01},
+        ["rgb_loss", "eikonal_loss", "line_loss"],
+    ),
     (
         "model.networks.loss_wfr_unnormalize.VolSDFLoss",
         {},
