@@ -45,7 +45,13 @@ def lift_line_points(
 ) -> jnp.ndarray:
     """Expected 3D surface point of each pixel (reference ``render``,
     network.py:204-234): full error-bounded sampling + volume rendering,
-    returning sum(w * points) per ray. points2d: (..., 2) -> (..., 3)."""
+    returning sum(w * points) per ray. points2d: (..., 2) -> (..., 3).
+
+    training=True keeps the reference's training-mode sampler draws (the
+    caller forward_minstance runs under self.training). The volsdf
+    forward's eikonal branch is computed-and-discarded in eager use but
+    dead-code-eliminated under jit — the reference's standalone render()
+    never had it."""
     vcfg = dataclasses.replace(cfg, model_variant="volsdf")
     uv = points2d.reshape(-1, 2)
     out = neat_forward(
@@ -96,11 +102,11 @@ def minstance_loss(
     x2 = lines3d[:, -1:]
     x0 = lines3d[:, 1:-1]
     norm2 = jnp.sum((x2 - x1) ** 2, axis=-1, keepdims=True)
-    # per-coordinate ratio, clamped, detached — exactly network.py:274-277
-    t = jax.lax.stop_gradient(
-        jnp.clip(-(x1 - x0) * (x2 - x1) / norm2, 0.0, 1.0)
-    )
-    xp = x1 + (x2 - x1) * t
+    # the WHOLE projection target is built inside no_grad upstream
+    # (network.py:274-277): per-coordinate ratio, clamped, and xp itself
+    # all detached — gradient reaches the net only through x0
+    t = jnp.clip(-(x1 - x0) * (x2 - x1) / norm2, 0.0, 1.0)
+    xp = jax.lax.stop_gradient(x1 + (x2 - x1) * t)
     loss = jnp.abs(x0 - xp)  # (L, 1, 3)
     per_line = jnp.sum(loss, axis=(-1, -2))
     return jnp.mean(per_line * inputs["weights"])

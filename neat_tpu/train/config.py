@@ -189,9 +189,11 @@ _MODEL_CLASS_MAP: Dict[str, Dict[str, Any]] = {
     "model.networks.neat_wfr_rend_a.VolSDFNetwork": {},
     # rend_show is rend_a's forward hacked into an interactive probe
     # (hardcoded GT-mesh trimesh scene + pdb mid-forward + matplotlib
-    # overlays, rend_show:317-324,416-470); its model behavior is rend_a's.
-    # The overlay itself is the headless
-    # `neat_tpu.wireframe.debug_tools --mode show` CLI
+    # overlays, rend_show:317-324,416-470). Upstream it returns only
+    # {points, rgb_values, sdf, depth, xyz} and pdb's before the eikonal
+    # block — it cannot train with any shipped loss; mapping it to full
+    # rend_a behavior is a documented SUPERSET. The overlay itself is the
+    # headless `neat_tpu.wireframe.debug_tools --mode show` CLI
     "model.networks.neat_wfr_rend_show.VolSDFNetwork": {},
     "model.networks.neat_wfr_rend.VolSDFNetwork": {"detach_line_weights": False},
     "model.networks.neat_wfr_rend_b.VolSDFNetwork": {"_attraction_mode": "no_view"},
@@ -244,11 +246,13 @@ _MODEL_CLASS_MAP: Dict[str, Dict[str, Any]] = {
     "model.neat_along_ray.VolSDFNetwork": {
         "_attraction_mode": "no_view",
         "attraction_aggregation": "endpoint_render",
+        "detach_lines2d": False,  # along_ray:365 projects lines3d live
     },
     "model.networks.neat_along_ray_v2.VolSDFNetwork": {
         "_attraction_mode": "no_view",
         "attraction_aggregation": "endpoint_render",
         "endpoint_sdf_separate": True,
+        "detach_lines2d": False,  # along_ray_v2:368 projects lines3d live
     },
     "model.network.VolSDFNetwork": {"model_variant": "volsdf"},
 }
@@ -414,12 +418,13 @@ def build_experiment_config(
     attraction_mode = variant_overrides.pop("_attraction_mode", None)
     if attraction_mode is not None:
         attraction = dataclasses.replace(attraction, mode=attraction_mode)
-        if attraction_mode == "no_view" and attraction.d_in == 9:
-            # no_view consumes [points, normals, feats] (rend_b:175-183) —
-            # the reference sizes the net from an explicitly-reduced conf
-            # d_in; a conf written for the idr-mode net (d_in = 9) must
-            # shed the 3 view dims or the first matmul width mismatches
-            attraction = dataclasses.replace(attraction, d_in=6)
+    if attraction.mode == "no_view" and attraction.d_in == 9:
+        # no_view consumes [points, normals, feats] (rend_b:175-183) —
+        # the reference sizes the net from an explicitly-reduced conf
+        # d_in; a conf written at the idr width (d_in = 9) must shed the
+        # 3 view dims or the first matmul width mismatches. Applies
+        # whether the mode came from the class map or the conf itself
+        attraction = dataclasses.replace(attraction, d_in=6)
 
     model = NeatConfig(
         feature_vector_size=int(m.get("feature_vector_size", 256)),

@@ -196,18 +196,15 @@ def show_view(
 
     Mirrors reference neat_wfr_rend_show.py:457-468: ``rays2d`` are the
     projected extents of the per-ray sample interval (the reference plots
-    ``points[:, [0, -1]]`` — the first/last error-bounded samples, i.e.
-    the bounding-sphere entry/exit points, rend_show:459), ``lines2d``
+    ``points[:, [0, -1]]`` — the first/last z samples, which span
+    [near, far] = [ray_sampler.near, 2 x scene_bounding_sphere], the
+    error-bounded sampler's interval with the shipped confs), ``lines2d``
     the distilled attraction-field segments, ``junctions2d`` the global
     junction set ``ffn(latents)`` (rend_show:463-464).
     """
     import jax.numpy as jnp
 
-    from ..core.camera import (
-        get_camera_params,
-        get_sphere_intersections,
-        project2d,
-    )
+    from ..core.camera import get_camera_params, project2d
     from ..fields.mlp import global_junctions_forward
 
     h, w = scene.img_res
@@ -220,11 +217,10 @@ def show_view(
     intr = jnp.asarray(scene.intrinsics[view])
     dirs, loc = get_camera_params(jnp.asarray(uv)[None], pose[None], intr[None])
     dirs = dirs[0]
-    near_far = get_sphere_intersections(
-        jnp.broadcast_to(loc, dirs.shape), dirs,
-        radius=cfg.scene_bounding_sphere,
+    near_far = jnp.asarray(
+        [cfg.sampler.near, 2.0 * cfg.scene_bounding_sphere], jnp.float32
     )
-    rays3d = loc[:, None, :] + near_far[..., None] * dirs[:, None, :]
+    rays3d = loc[:, None, :] + near_far[None, :, None] * dirs[:, None, :]
 
     w2c = jnp.linalg.inv(pose)
     rot, trans = w2c[:3, :3], w2c[:3, 3]

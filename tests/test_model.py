@@ -161,6 +161,23 @@ class TestForward:
         assert np.abs(np.asarray(grads["neat_sdf"]["lin0"]["v"])).sum() > 0
         assert np.abs(np.asarray(grads["attraction"]["lin0"]["v"])).sum() > 0
 
+        # along_ray projects lines3d LIVE (along_ray:365): with the family's
+        # uncalibrated-only losses, the line term must still reach the
+        # attraction net through lines2d
+        cfg_live = tiny_cfg(
+            attraction_aggregation="endpoint_render", detach_lines2d=False
+        )
+        params_l = init_neat(jax.random.PRNGKey(0), cfg_live)
+
+        def line_only(p):
+            out = neat_forward(p, inputs, cfg_live, jax.random.PRNGKey(1))
+            lc = LossConfig(calibrated_branch=False, junction_3d_weight=0.0,
+                            junction_2d_weight=0.0)
+            return neat_loss(out, gt, lc)["loss"]
+
+        g = jax.grad(line_only)(params_l)
+        assert np.abs(np.asarray(g["attraction"]["lin0"]["v"])).sum() > 0
+
     @pytest.mark.slow
     def test_uniform_sampler_variant(self):
         cfg = tiny_cfg(sampler_kind="uniform")

@@ -662,7 +662,7 @@ LOSS_VARIANTS = [
         {"calibrated_branch": False, "junction_cost_2d_scale": 0.01,
          "junction_stat_gated": True},
         ["loss", "rgb_loss", "eikonal_loss", "line_loss", "j3d_loss",
-         "j2d_loss", "j2d_stat"],
+         "j2d_loss", "j2d_stat", "jcount"],
     ),
     (
         "model.networks.loss_wfr_spd.VolSDFLoss",
