@@ -218,3 +218,60 @@ class TestDepthUnprojection:
         assert pts.shape == (1, 3)
         expect = np.array([(10.5 - 32.0) / 100, (7.5 - 24.0) / 100, 1.0]) * 2.0
         np.testing.assert_allclose(pts[0], expect, atol=1e-12)
+
+
+class TestBookkeepingTools:
+    """tools/near_view.py (reference code/tools/near_view.py) and
+    tools/commit.py (reference code/tools/commit.py + the runner's
+    gitpython auto-commits)."""
+
+    def test_near_view_covisibility_ranking(self, tmp_path, capsys):
+        import sys
+
+        sys.path.insert(0, "tools")
+        from near_view import covisibility
+
+        cams, imgs, pts = make_model()
+        # three points: two shared by (1,2), one seen only by image 1
+        pts = {
+            5: Point3D(5, np.asarray([0.5, 0.6, 0.7]),
+                       np.asarray([255, 128, 0]), 0.3,
+                       np.asarray([1, 2]), np.asarray([0, 0])),
+            6: Point3D(6, np.asarray([0.1, 0.2, 0.3]),
+                       np.asarray([0, 0, 0]), 0.1,
+                       np.asarray([1, 2]), np.asarray([0, 0])),
+            7: Point3D(7, np.asarray([0.9, 0.9, 0.9]),
+                       np.asarray([0, 0, 0]), 0.1,
+                       np.asarray([1]), np.asarray([0])),
+        }
+        write_model(cams, imgs, pts, str(tmp_path), ext=".bin")
+        ranked = covisibility(str(tmp_path), top_k=5)
+        assert ranked == [((1, 2), 2)]
+        out = capsys.readouterr().out
+        assert "a.png <-> b.png: 2 shared points" in out
+
+    def test_commit_experiment_snapshot(self, tmp_path):
+        import subprocess
+        import sys
+
+        sys.path.insert(0, "tools")
+        from commit import commit_experiment, git
+
+        repo = tmp_path / "exps"
+        rundir = repo / "tiny" / "2020_01_01"
+        rundir.mkdir(parents=True)
+        subprocess.run(["git", "init", "-q", str(repo)], check=True)
+        (rundir / "runconf.conf").write_text("train { expname = tiny }\n")
+        (rundir / "train.log").write_text("epoch 0\n")
+        (repo / "unrelated.txt").write_text("must not be committed\n")
+
+        commit_experiment(str(rundir))
+
+        author = git(str(repo), "log", "-1", "--format=%an")
+        assert author == "expbot"
+        files = git(str(repo), "show", "--name-only", "--format=").splitlines()
+        assert sorted(f.split("/")[-1] for f in files if f) == [
+            "runconf.conf", "train.log",
+        ]
+        status = git(str(repo), "status", "--porcelain")
+        assert "unrelated.txt" in status  # untouched
