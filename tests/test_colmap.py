@@ -275,3 +275,82 @@ class TestBookkeepingTools:
         ]
         status = git(str(repo), "status", "--porcelain")
         assert "unrelated.txt" in status  # untouched
+
+
+class TestKnownPoseDatabase:
+    """COLMAP sqlite injection (reference colmap/abc.py, colmap/dtu.py)."""
+
+    def test_pair_id_roundtrip(self):
+        from neat_tpu.colmap_tools.database import (
+            image_ids_to_pair_id,
+            pair_id_to_image_ids,
+        )
+
+        assert pair_id_to_image_ids(image_ids_to_pair_id(3, 7)) == (3, 7)
+        # order-insensitive: COLMAP stores the sorted pair
+        assert image_ids_to_pair_id(7, 3) == image_ids_to_pair_id(3, 7)
+
+    def test_build_known_pose_db(self, tmp_path):
+        import sqlite3
+
+        from neat_tpu.colmap_tools.database import build_known_pose_db
+        from neat_tpu.colmap_tools.model_io import qvec2rotmat
+
+        k = np.array([[500.0, 0, 320], [0, 490.0, 240], [0, 0, 1]])
+        w2c = np.eye(4)
+        w2c[:3, :3] = qvec2rotmat(
+            np.asarray([0.9, 0.1, 0.2, 0.05])
+            / np.linalg.norm([0.9, 0.1, 0.2, 0.05])
+        )
+        w2c[:3, 3] = [0.1, -0.2, 2.0]
+        db_path = tmp_path / "db.db"
+        ids = build_known_pose_db(
+            str(db_path),
+            {"a.png": k, "b.png": k},
+            {"a.png": w2c, "b.png": np.eye(4)},
+            640, 480,
+        )
+        assert sorted(ids) == ["a.png", "b.png"]
+
+        con = sqlite3.connect(db_path)
+        cams = con.execute(
+            "SELECT model, width, height, params, prior_focal_length "
+            "FROM cameras"
+        ).fetchall()
+        assert len(cams) == 2
+        model, width, height, params, prior_f = cams[0]
+        assert (model, width, height, prior_f) == (1, 640, 480, 1)  # PINHOLE
+        np.testing.assert_allclose(
+            np.frombuffer(params, np.float64), [500.0, 490.0, 320.0, 240.0]
+        )
+        name, qw, qx, qy, qz, tx, ty, tz = con.execute(
+            "SELECT name, prior_qw, prior_qx, prior_qy, prior_qz, "
+            "prior_tx, prior_ty, prior_tz FROM images WHERE name='a.png'"
+        ).fetchone()
+        # the stored prior reproduces the injected world2cam pose
+        np.testing.assert_allclose(
+            qvec2rotmat(np.asarray([qw, qx, qy, qz])), w2c[:3, :3], atol=1e-12
+        )
+        np.testing.assert_allclose([tx, ty, tz], w2c[:3, 3])
+        con.close()
+
+    def test_matches_column_flip(self, tmp_path):
+        import sqlite3
+
+        from neat_tpu.colmap_tools.database import (
+            COLMAPDatabase,
+            image_ids_to_pair_id,
+        )
+
+        db = COLMAPDatabase.connect(str(tmp_path / "m.db"))
+        db.create_tables()
+        m = np.asarray([[0, 5], [1, 6]], np.uint32)
+        db.add_matches(2, 1, m)  # reversed ids: columns must swap
+        db.commit()
+        pair_id, rows, cols, blob = db.execute(
+            "SELECT pair_id, rows, cols, data FROM matches"
+        ).fetchone()
+        db.close()
+        assert pair_id == image_ids_to_pair_id(1, 2)
+        stored = np.frombuffer(blob, np.uint32).reshape(rows, cols)
+        np.testing.assert_array_equal(stored, m[:, ::-1])
