@@ -347,3 +347,30 @@ class TestMarchingTetrahedra:
         vals = np.ones((8, 8, 8), np.float32)  # no crossing anywhere
         verts, faces = marching_tetrahedra(vals, [0, 0, 0], [1, 1, 1])
         assert verts.shape == (0, 3) and faces.shape == (0, 3)
+
+
+class TestProfilingUtils:
+    """utils/profiling.py (SURVEY §5: the reference has no profiler —
+    these are the TPU-native additions the runner/bench use)."""
+
+    def test_step_timer_and_force_sync(self):
+        import jax.numpy as jnp
+
+        from neat_tpu.utils.profiling import force_sync, step_timer
+
+        holder = {}
+        with step_timer("block", holder):
+            v = force_sync(jnp.asarray(2.0) * 3.0)
+        assert v == 6.0
+        assert holder["block"] > 0.0
+
+    def test_trace_writes_profile(self, tmp_path):
+        import jax.numpy as jnp
+
+        from neat_tpu.utils.profiling import trace
+
+        with trace(str(tmp_path)):
+            (jnp.arange(8.0) ** 2).block_until_ready()
+        import glob
+
+        assert glob.glob(str(tmp_path / "**" / "*.xplane.pb"), recursive=True)
