@@ -374,3 +374,19 @@ class TestProfilingUtils:
         import glob
 
         assert glob.glob(str(tmp_path / "**" / "*.xplane.pb"), recursive=True)
+
+    def test_parse_profile_reads_trace(self, tmp_path, capsys):
+        import sys
+
+        import jax.numpy as jnp
+
+        from neat_tpu.utils.profiling import trace
+
+        sys.path.insert(0, "tools")
+        import parse_profile
+
+        with trace(str(tmp_path)):
+            (jnp.arange(64.0) ** 2).sum().block_until_ready()
+        parse_profile.parse(str(tmp_path), top=5)
+        out = capsys.readouterr().out
+        assert "ms" in out and "==" in out
