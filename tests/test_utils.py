@@ -390,3 +390,50 @@ class TestProfilingUtils:
         parse_profile.parse(str(tmp_path), top=5)
         out = capsys.readouterr().out
         assert "ms" in out and "==" in out
+
+
+class TestBytesAccounting:
+    """tools/bytes_accounting.py — the post-fusion HLO traffic model that
+    backs the RESULTS.md roofline closure. Parser-level checks on a small
+    compiled module (the full-step run is the tool's CLI use on TPU)."""
+
+    def test_shape_bytes_and_bucketing(self):
+        import sys
+
+        sys.path.insert(0, "tools")
+        import bytes_accounting as ba
+
+        assert ba.shape_bytes("f32", "4,8") == 128
+        assert ba.shape_bytes("bf16", "16") == 32
+        assert ba.shape_bytes("token", "") == 0
+        assert ba.bucket_for("sampler/foo", "fusion") == "sampler/fwd"
+        assert ba.bucket_for("transpose(sampler/foo)", "fusion") == "sampler/bwd"
+        assert ba.bucket_for("x", "copy") == "copies"
+        assert ba.bucket_for("x", "all-gather") == "collectives"
+
+    def test_entry_parse_on_compiled_module(self):
+        import sys
+
+        import jax
+        import jax.numpy as jnp
+
+        sys.path.insert(0, "tools")
+        import bytes_accounting as ba
+
+        def f(x, w):
+            with jax.named_scope("sampler"):
+                h = jnp.tanh(x @ w)
+            with jax.named_scope("volume_render"):
+                return (h * h).sum()
+
+        x = jnp.zeros((64, 32), jnp.float32)
+        w = jnp.zeros((32, 16), jnp.float32)
+        hlo = jax.jit(f).lower(x, w).compile().as_text()
+        rows = list(ba.parse_entry_instructions(hlo))
+        assert rows, "no entry instructions parsed"
+        total = sum(r[2] + r[3] for r in rows)
+        assert total > 0
+        # the input parameters alone move x + w bytes through the entry
+        assert total >= (64 * 32 + 32 * 16) * 4
+        buckets = {ba.bucket_for(r[4], r[1]) for r in rows}
+        assert any(b.startswith("sampler/") for b in buckets), buckets
