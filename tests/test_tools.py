@@ -233,3 +233,18 @@ def test_show_view_overlay(tmp_path):
     assert res["junctions2d"].shape == (8, 2)
     for v in res.values():
         assert np.isfinite(v).all()
+
+
+def test_measure_reference_ratio_smoke(capsys):
+    """The measured CPU cost anchor behind BASELINE.md's vs_baseline
+    footnote: both steps run and the ratios come out positive/finite."""
+    if not osp.isdir("/root/reference/code"):
+        pytest.skip("reference checkout not present")
+    from tools.measure_reference_ratio import main as ratio_main
+
+    ratio_main(["--rays", "32", "--steps", "1"])
+    out = capsys.readouterr().out
+    rec = json.loads(out.strip().splitlines()[-1])
+    assert rec["rays"] == 32
+    for key in ("ref_step_s_1thread", "ours_step_s", "ratio_vs_ref_1thread"):
+        assert rec[key] > 0, rec
