@@ -23,6 +23,8 @@ ratio, not an implementation artifact.
 """
 
 import json
+import socket
+import sys
 import time
 
 import numpy as np
@@ -32,7 +34,34 @@ WARMUP_STEPS = 3
 BENCH_STEPS = 20
 
 
+def _tpu_relay_alive(port: int = 8082, attempts: int = 6, wait_s: float = 10.0):
+    """The axon TPU tunnel relay can die (see .claude/skills/verify): when
+    it is down every TPU op hangs INDEFINITELY, which would wedge the
+    whole bench run. Probe the relay port and retry briefly before giving
+    up, so a dead tunnel fails fast and loudly instead of hanging."""
+    for i in range(attempts):
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=2):
+                return True
+        except OSError:
+            if i + 1 < attempts:
+                time.sleep(wait_s)
+    return False
+
+
 def main():
+    import os.path
+
+    # only meaningful where the axon tunnel IS the TPU path; on a direct
+    # TPU host (no relay script) skip straight to jax
+    if os.path.exists("/root/.tpu_init.py") and not _tpu_relay_alive():
+        sys.exit(
+            "bench.py: TPU tunnel relay (127.0.0.1:8082) is not answering — "
+            "a TPU bench would hang indefinitely. The relay is driven "
+            "externally and cannot be restarted from this session; re-run "
+            "when it is back."
+        )
+
     import jax
 
     from neat_tpu.utils.cache import enable_compilation_cache
