@@ -13,6 +13,10 @@ COMMANDS = {
     "synthetic": "neat_tpu.data.synthetic — generate a test scene",
     "monodepth": "neat_tpu.data.monodepth — depth/normal cues",
     "import-ckpt": "neat_tpu.interop.convert_checkpoint — reference .pth import",
+    "export-ckpt": "neat_tpu.interop.torch_export — export a run to a reference .pth",
+    "debug": "neat_tpu.wireframe.debug_tools — recon/softmax/show probes",
+    "analyze": "neat_tpu.evaluation.abc_analysis — GT detectability sweep",
+    "colmap-vis": "neat_tpu.colmap_tools.vis — headless model viewer",
 }
 
 if __name__ == "__main__":
