@@ -210,3 +210,27 @@ class TestTrainOnSynthetic:
             assert len(verts) > 100 and len(faces) > 100
             r = np.linalg.norm(verts, axis=1)
             assert 0.3 < r.mean() < 1.5
+
+
+def test_view_field_lines_honours_eval_l3d_branch(scene):
+    """Distillation consumes the eval forward, so the wfr/simple
+    eval-attraction-at-l3d flag must change what view_field_lines
+    returns (neat_wfr.py:469-474 — what their finalization actually
+    distills)."""
+    import dataclasses as dc
+
+    from neat_tpu.wireframe.finalize import view_field_lines
+
+    base = dc.replace(
+        tiny_cfg(),
+        attraction=dc.replace(tiny_cfg().attraction, mode="no_view", d_in=6),
+        attraction_at_surface=True,
+    )
+    cfg_l3d = dc.replace(base, eval_attraction_at_l3d=True)
+    params = init_neat(jax.random.PRNGKey(0), base)
+
+    l3_base, l2_base, _, _ = view_field_lines(params, base, scene, 0, 256)
+    l3_l3d, l2_l3d, _, _ = view_field_lines(params, cfg_l3d, scene, 0, 256)
+    assert l3_base.shape == l3_l3d.shape
+    assert not np.allclose(l3_base, l3_l3d)
+    assert np.isfinite(l3_l3d).all() and np.isfinite(l2_l3d).all()
