@@ -412,36 +412,42 @@ def neat_forward(
                 # volume-render it with its own SDF weights. The SDF
                 # input is detached (no attraction gradient through it)
                 # but the evaluation still trains the scoring net; v2
-                # scores with the separate 'neat_sdf' network.
+                # scores with the separate 'neat_sdf' network. Both
+                # tracks batch as one (R*2, S) MLP/render pass.
                 sdf_params = (
                     params["neat_sdf"]
                     if cfg.endpoint_sdf_separate
                     else params["implicit"]
                 )
-                ends, peaks = [], []
-                for k in (0, 1):
-                    ek = lines3d[:, :, k, :]  # (R, S, 3)
-                    sdf_k = implicit_sdf(
-                        sdf_params,
-                        jax.lax.stop_gradient(ek.reshape(-1, 3)),
-                        cfg.implicit,
-                    )[..., 0].reshape(n_rays, n_samples)
-                    z_k = jax.lax.stop_gradient(
-                        jnp.linalg.norm(ek - cam_loc[:, None, :], axis=-1)
-                    )
-                    order = jnp.argsort(z_k, axis=-1)
-                    z_s = jnp.take_along_axis(z_k, order, axis=-1)
-                    sdf_s = jnp.take_along_axis(sdf_k, order, axis=-1)
-                    ek_s = jnp.take_along_axis(ek, order[..., None], axis=1)
-                    dens_k = laplace_density(
-                        sdf_s, params["density"], beta_min=cfg.density_beta_min
-                    )
-                    w_k = render_weights_from_density(z_s, dens_k)
-                    ends.append(jnp.sum(w_k[..., None] * ek_s, axis=1))
-                    peaks.append(jnp.max(w_k, axis=-1))
-                lines3d = jnp.stack(ends, axis=1)  # (R, 2, 3)
+                from ..core.render import volume_rendering_weights
+
+                ek = lines3d.transpose(0, 2, 1, 3).reshape(
+                    2 * n_rays, n_samples, 3
+                )
+                sdf_e = implicit_sdf(
+                    sdf_params,
+                    jax.lax.stop_gradient(ek.reshape(-1, 3)),
+                    cfg.implicit,
+                )[..., 0].reshape(2 * n_rays, n_samples)
+                cam2 = jnp.repeat(cam_loc, 2, axis=0)
+                z_e = jax.lax.stop_gradient(
+                    jnp.linalg.norm(ek - cam2[:, None, :], axis=-1)
+                )
+                order = jnp.argsort(z_e, axis=-1)
+                w_e = volume_rendering_weights(
+                    jnp.take_along_axis(z_e, order, axis=-1),
+                    jnp.take_along_axis(sdf_e, order, axis=-1),
+                    params["density"],
+                    beta_min=cfg.density_beta_min,
+                )
+                ek_s = jnp.take_along_axis(ek, order[..., None], axis=1)
+                lines3d = jnp.sum(w_e[..., None] * ek_s, axis=1).reshape(
+                    n_rays, 2, 3
+                )
                 # neat_along_ray.py:375: per-ray confidence score
-                out["score"] = 0.5 * (peaks[0] + peaks[1])
+                out["score"] = jnp.mean(
+                    jnp.max(w_e, axis=-1).reshape(n_rays, 2), axis=-1
+                )
             else:
                 w_for_lines = (
                     jax.lax.stop_gradient(weights)
