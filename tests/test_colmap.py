@@ -354,3 +354,31 @@ class TestKnownPoseDatabase:
         assert pair_id == image_ids_to_pair_id(1, 2)
         stored = np.frombuffer(blob, np.uint32).reshape(rows, cols)
         np.testing.assert_array_equal(stored, m[:, ::-1])
+
+
+def test_checkpoint_sweeper_prune(tmp_path, capsys):
+    """tools/sweep.py (reference code/tools/sweep.py): prune keeps the
+    newest N numbered checkpoints; dry-run touches nothing; 'latest'
+    (non-numeric) survives."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from sweep import sweep
+
+    ck = tmp_path / "exp" / "2020" / "checkpoints"
+    ck.mkdir(parents=True)
+    for n in (100, 200, 300):
+        (ck / f"{n}.ckpt").write_bytes(b"x")
+    (ck / "latest.ckpt").write_bytes(b"x")
+
+    sweep(str(tmp_path), prune_keep=2, dry_run=True)
+    assert sorted(p.name for p in ck.iterdir()) == [
+        "100.ckpt", "200.ckpt", "300.ckpt", "latest.ckpt",
+    ]
+    out = capsys.readouterr().out
+    assert "would remove 100.ckpt" in out
+
+    sweep(str(tmp_path), prune_keep=2, dry_run=False)
+    assert sorted(p.name for p in ck.iterdir()) == [
+        "200.ckpt", "300.ckpt", "latest.ckpt",
+    ]
