@@ -387,3 +387,23 @@ class TestLineLift:
             lambda p: two_view_lift(p, cfg, inputs, jax.random.PRNGKey(9))[0]
         )(params)
         assert np.abs(np.asarray(g["implicit"]["lin0"]["v"])).sum() == 0
+
+
+@pytest.mark.slow
+def test_junction_eikonal_extends_grad_theta():
+    """junction_eikonal (rend_a:524-525): the detached decoded global
+    junctions join the eikonal point set, growing grad_theta by
+    num_junctions rows; the base rows are unchanged."""
+    cfg_off = tiny_cfg()
+    cfg_on = tiny_cfg(junction_eikonal=True)
+    params = init_neat(jax.random.PRNGKey(0), cfg_off)
+    out_off = neat_forward(params, make_inputs(), cfg_off, jax.random.PRNGKey(1))
+    out_on = neat_forward(params, make_inputs(), cfg_on, jax.random.PRNGKey(1))
+    n_base = out_off["grad_theta"].shape[0]
+    assert out_on["grad_theta"].shape[0] == n_base + 16  # num_junctions
+    np.testing.assert_allclose(
+        np.asarray(out_on["grad_theta"][:n_base]),
+        np.asarray(out_off["grad_theta"]),
+        rtol=1e-6,
+    )
+    assert np.isfinite(np.asarray(out_on["grad_theta"])).all()
