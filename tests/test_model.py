@@ -407,3 +407,28 @@ def test_junction_eikonal_extends_grad_theta():
         rtol=1e-6,
     )
     assert np.isfinite(np.asarray(out_on["grad_theta"])).all()
+
+
+@pytest.mark.slow
+def test_use_l3d_junction_proposals():
+    """use_l3d (neat_wfr.py:432-435 / rend_a's equivalent): junction
+    proposals become the sub-median-l3d_score endpoints PLUS their l3d
+    points (3R padded proposal set) instead of all 2R endpoints; the
+    selection mask gates both copies of each ray."""
+    cfg = tiny_cfg(use_l3d=True)
+    params = init_neat(jax.random.PRNGKey(0), cfg)
+    out = neat_forward(params, make_inputs(), cfg, jax.random.PRNGKey(1))
+    # proposals padded to 3R; j3d_local is the verts-matched subset so its
+    # row count stays max_verts — the executable signal is finiteness and
+    # that the forward accepts the branch
+    assert out["j3d_local"].shape == (8, 3)
+    for k in ("j3d_local", "j2d_local", "j2d_local_calib", "median"):
+        assert np.isfinite(np.asarray(out[k])).all(), k
+    # the proposal set differs from the default branch: matched junctions
+    # can now land on l3d points, so the assignment outcome changes
+    out_def = neat_forward(
+        params, make_inputs(), tiny_cfg(), jax.random.PRNGKey(1)
+    )
+    assert not np.allclose(
+        np.asarray(out["j3d_local"]), np.asarray(out_def["j3d_local"])
+    )
