@@ -166,6 +166,9 @@ def run_sfm(image_dir: str, workdir: str, colmap_bin: str = "colmap") -> str:
 
 
 def main(argv=None):
+    from ..utils.platform import apply_env_platform
+
+    apply_env_platform()
     parser = argparse.ArgumentParser(
         description="COLMAP SfM -> cameras.npz (reference colmap/custom.py)"
     )

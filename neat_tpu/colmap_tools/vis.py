@@ -100,6 +100,9 @@ def plot_reconstruction(
 
 
 def main(argv=None):
+    from ..utils.platform import apply_env_platform
+
+    apply_env_platform()
     parser = argparse.ArgumentParser(
         description="render a COLMAP sparse model to a png (headless "
         "vis_3d equivalent)"

@@ -104,6 +104,9 @@ def run(image_dir: str, out_dir: str, task: str = "depth") -> int:
 
 
 def main(argv=None):
+    from ..utils.platform import apply_env_platform
+
+    apply_env_platform()
     parser = argparse.ArgumentParser()
     parser.add_argument("--images", required=True)
     parser.add_argument("--out", required=True)

@@ -225,6 +225,9 @@ def analyze_detectability(
 
 
 def main(argv=None):
+    from ..utils.platform import apply_env_platform
+
+    apply_env_platform()
     from ..data.datasets import load_blender_scene
 
     parser = argparse.ArgumentParser(

@@ -125,6 +125,9 @@ def eval_abc(
 
 
 def main(argv=None):
+    from ..utils.platform import apply_env_platform
+
+    apply_env_platform()
     parser = argparse.ArgumentParser()
     parser.add_argument("--data", type=str, required=True, help="finalized -neat.pkl")
     parser.add_argument("--scan", type=str, required=True, help="ABC scan dir")

@@ -128,6 +128,9 @@ def eval_dtu_mesh(
 
 
 def main(argv=None):
+    from ..utils.platform import apply_env_platform
+
+    apply_env_platform()
     parser = argparse.ArgumentParser()
     parser.add_argument("--data", type=str, required=True, help="predicted mesh .ply")
     parser.add_argument("--scan", type=int, required=True)

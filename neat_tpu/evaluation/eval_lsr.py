@@ -166,6 +166,9 @@ def load_obj_vertices(path: str) -> np.ndarray:
 
 
 def main(argv=None):
+    from ..utils.platform import apply_env_platform
+
+    apply_env_platform()
     parser = argparse.ArgumentParser()
     parser.add_argument("--data", type=str, required=True)
     parser.add_argument("--scan", type=str, required=True)

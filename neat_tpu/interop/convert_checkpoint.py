@@ -14,6 +14,9 @@ import shutil
 
 
 def main(argv=None):
+    from ..utils.platform import apply_env_platform
+
+    apply_env_platform()
     parser = argparse.ArgumentParser()
     parser.add_argument("--pth", required=True, help="reference ModelParameters/*.pth")
     parser.add_argument("--conf", required=True, help="matching .conf file")

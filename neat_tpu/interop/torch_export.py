@@ -81,6 +81,9 @@ def export_reference_checkpoint(
 
 
 def main(argv=None):
+    from ..utils.platform import apply_env_platform
+
+    apply_env_platform()
     import argparse
     import os.path as osp
 

@@ -266,6 +266,9 @@ def replay_views(
 
 
 def main(argv=None):
+    from ..utils.platform import apply_env_platform
+
+    apply_env_platform()
     import argparse
 
     parser = argparse.ArgumentParser(

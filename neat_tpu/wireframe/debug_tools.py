@@ -264,6 +264,9 @@ def show_view(
 
 
 def main(argv=None):
+    from ..utils.platform import apply_env_platform
+
+    apply_env_platform()
     from ..train.config import load_experiment_config
     from ..train.checkpoint import load_checkpoint
     from ..data.datasets import load_scene_for_config

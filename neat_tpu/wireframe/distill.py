@@ -544,6 +544,9 @@ def _cli_load_run(conf: str, checkpoint: str, data_root: str):
 
 
 def main(argv=None):
+    from ..utils.platform import apply_env_platform
+
+    apply_env_platform()
     """CLI for the alternate distillation tools (reference
     evaluation/{wireframe,wireframe-merge,nms,fusion}.py)."""
     import argparse

@@ -583,6 +583,17 @@ def wireframe_recon(
     # symlink tree (e.g. a sweep's curated exps layout) hits the cache
     # instead of silently re-distilling.
     conf_key = osp.realpath(conf)
+    # canonicalize numeric types: the sha hashes repr(), so an int 10 from
+    # an argparse DEFAULT (type= is not applied to defaults) must key
+    # identically to the API's float 10.0 or the cache silently misses
+    distance = float(distance)
+    ckdist = float(ckdist)
+    junc_match_threshold = float(junc_match_threshold)
+    junction_merge_eps = float(junction_merge_eps)
+    sdf_filter_threshold = float(sdf_filter_threshold)
+    vote_threshold = int(vote_threshold)
+    edge_vote_threshold = int(edge_vote_threshold)
+    ckview = int(ckview)
     distill_sha = make_hash_sha256(
         {
             "conf": conf_key,
@@ -706,14 +717,17 @@ def wireframe_recon(
 
 
 def main(argv=None):
+    from ..utils.platform import apply_env_platform
+
+    apply_env_platform()
     parser = argparse.ArgumentParser(
         description="neat_tpu wireframe finalization (reference neat-final-parsing.py CLI)"
     )
     parser.add_argument("--conf", type=str, required=True)
     parser.add_argument("--checkpoint", default="latest", type=str)
     parser.add_argument("--chunksize", default=2048, type=int)
-    parser.add_argument("--reproj-dis", default=10, type=float, dest="reproj_dis")
-    parser.add_argument("--ckdist", default=100, type=float)
+    parser.add_argument("--reproj-dis", default=10.0, type=float, dest="reproj_dis")
+    parser.add_argument("--ckdist", default=100.0, type=float)
     parser.add_argument("--ckview", default=5, type=int)
     parser.add_argument("--overwrite", default=False, action="store_true")
     parser.add_argument("--disable-junction-refine", default=False, action="store_true")

@@ -234,3 +234,40 @@ def test_view_field_lines_honours_eval_l3d_branch(scene):
     assert l3_base.shape == l3_l3d.shape
     assert not np.allclose(l3_base, l3_l3d)
     assert np.isfinite(l3_l3d).all() and np.isfinite(l2_l3d).all()
+
+
+def test_distill_cache_key_type_canonical(tmp_path):
+    """The distill cache sha hashes repr(): an int 10 (e.g. an argparse
+    DEFAULT, which type= does not convert) must key identically to the
+    API's 10.0, or every CLI run silently re-distills (a ~25 min CPU
+    stall on the full ABC scene before the fix)."""
+    from neat_tpu.train.runner import TrainRunner
+    from neat_tpu.wireframe.finalize import wireframe_recon
+
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_runner import TINY_CONF
+
+    os.makedirs(tmp_path / "toy")
+    generate_scene(str(tmp_path / "toy"), n_views=3, res=(48, 48))
+    conf = tmp_path / "tiny.conf"
+    conf.write_text(TINY_CONF)
+    r = TrainRunner(
+        conf=str(conf), data_root=str(tmp_path),
+        exps_folder=str(tmp_path / "exps"), nepochs=1, max_verts=16,
+    )
+    r.run()
+    runconf = osp.join(r.rundir, "runconf.conf")
+
+    wireframe_recon(conf=runconf, checkpoint="latest",
+                    data_root=str(tmp_path), distance=10, ckdist=100)
+    wireframe_recon(conf=runconf, checkpoint="latest",
+                    data_root=str(tmp_path), distance=10.0, ckdist=100.0)
+    import glob
+
+    distills = glob.glob(osp.join(r.rundir, "wireframes", "*-distill.pkl"))
+    assert len(distills) == 1, distills
+    # and the assembled outputs collapse to ONE sha too
+    pkls = glob.glob(osp.join(r.rundir, "wireframes", "*-neat.pkl"))
+    assert len(pkls) == 1, pkls

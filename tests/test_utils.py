@@ -437,3 +437,20 @@ class TestBytesAccounting:
         assert total >= (64 * 32 + 32 * 16) * 4
         buckets = {ba.bucket_for(r[4], r[1]) for r in rows}
         assert any(b.startswith("sampler/") for b in buckets), buckets
+
+
+def test_apply_env_platform(monkeypatch):
+    """CLI mains honor an explicit JAX_PLATFORMS even though this image's
+    sitecustomize clobbers it after the env was read (a dead axon tunnel
+    otherwise hangs every CLI op indefinitely)."""
+    import jax
+
+    from neat_tpu.utils.platform import apply_env_platform
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    apply_env_platform()
+    assert jax.config.jax_platforms == "cpu"
+    # unset -> leaves the active value alone
+    monkeypatch.delenv("JAX_PLATFORMS")
+    apply_env_platform()
+    assert jax.config.jax_platforms == "cpu"
