@@ -162,6 +162,9 @@ def evaluate(mats, n_iters_list=(32, 64, 128, 256), eps=None):
 
 
 def main(argv=None):
+    from neat_tpu.utils.platform import apply_env_platform
+
+    apply_env_platform()
     parser = argparse.ArgumentParser()
     parser.add_argument("--rundir", required=True)
     parser.add_argument("--data_root", default="../data")
