@@ -97,9 +97,15 @@ def install_reference_stubs() -> None:
         mod = types.ModuleType("pyhocon")
         mod.ConfigTree = ConfigTree
         sys.modules["pyhocon"] = mod
+    import importlib.machinery
+
     for name in ("open3d", "trimesh", "skimage"):
         if name not in sys.modules:
-            sys.modules[name] = types.ModuleType(name)
+            mod = types.ModuleType(name)
+            # a real ModuleSpec so third-party find_spec probes (e.g. the
+            # HuggingFace datasets config) don't crash on the stub
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+            sys.modules[name] = mod
 
     import torch
 
@@ -109,6 +115,95 @@ def install_reference_stubs() -> None:
     if REFERENCE_CODE not in sys.path:
         sys.path.insert(0, REFERENCE_CODE)
     _installed = True
+
+
+def install_dataset_stubs() -> None:
+    """Make the reference *dataset* classes importable and runnable on CPU.
+
+    On top of install_reference_stubs(), the dataset loaders
+    (code/datasets/blender_hawp_dataset.py:11, scene_hawp_dataset.py:10)
+    additionally need:
+
+      * ``skimage.img_as_float32`` — used by rend_util.load_rgb
+        (code/utils/rend_util.py:20-23); replicated faithfully for the
+        integer dtypes the scene PNGs use;
+      * ``hawp.base._C.encodels`` — the lost CUDA rasterizer (SURVEY §2.2
+        N1), stubbed with THIS repo's C++ kernel (data/encodels.py). The
+        per-pixel closest-line semantics of that kernel were pinned three
+        independent ways against shipped artifacts (RESULTS.md §1), so a
+        parity run through this stub validates the reference's Python
+        post-processing, view filtering, and camera handling against our
+        loaders — not the lost kernel itself.
+
+    Idempotent.
+    """
+    install_reference_stubs()
+
+    skimage = sys.modules["skimage"]
+    if not hasattr(skimage, "img_as_float32"):
+
+        def img_as_float32(img):
+            img = np.asarray(img)
+            if img.dtype == np.uint8:
+                return (img / 255.0).astype(np.float32)
+            if img.dtype == np.uint16:
+                return (img / 65535.0).astype(np.float32)
+            return img.astype(np.float32)
+
+        skimage.img_as_float32 = img_as_float32
+
+    if "hawp" not in sys.modules:
+        import torch
+
+        from ..data.encodels import encode_line_attraction
+
+        def encodels(lines, height, width, height2, width2, n):
+            """(lmap (6,H,W), labels_onehot (N,H,W), unused) — the call
+            contract at blender_hawp_dataset.py:96."""
+            arr = lines.detach().cpu().numpy().astype(np.float32)
+            assert arr.shape[0] == n
+            lmap, labels = encode_line_attraction(arr, int(height), int(width))
+            onehot = torch.nn.functional.one_hot(
+                torch.from_numpy(labels.astype(np.int64)).reshape(-1), int(n)
+            )
+            # bool, not float: the dataset post-processing multiplies this
+            # mask into comparison results and later uses it as a boolean
+            # index (blender_hawp_dataset.py:134,146) — float would be
+            # rejected by torch advanced indexing
+            onehot = onehot.t().reshape(int(n), int(height), int(width)).bool()
+            return torch.from_numpy(lmap), onehot, None
+
+        hawp = types.ModuleType("hawp")
+        hawp_base = types.ModuleType("hawp.base")
+        c_mod = types.ModuleType("hawp.base._C")
+        c_mod.encodels = encodels
+        hawp_base._C = c_mod
+        hawp.base = hawp_base
+        sys.modules["hawp"] = hawp
+        sys.modules["hawp.base"] = hawp_base
+        sys.modules["hawp.base._C"] = c_mod
+
+    if "GPUtil" not in sys.modules:
+        gputil = types.ModuleType("GPUtil")
+        gputil.getAvailable = lambda *a, **k: [0]
+        sys.modules["GPUtil"] = gputil
+
+    # The reference's ``datasets`` directory has no __init__.py and its name
+    # collides with the installed HuggingFace ``datasets`` package (a regular
+    # package, which beats a namespace-package portion regardless of sys.path
+    # order). Register it under the alias ``ref_datasets`` instead; relative
+    # imports inside it (.utils.wireframe) resolve against this package.
+    if "ref_datasets" not in sys.modules:
+        import importlib.machinery
+        import os.path as osp
+
+        pkg = types.ModuleType("ref_datasets")
+        path = [osp.join(REFERENCE_CODE, "datasets")]
+        spec = importlib.machinery.ModuleSpec("ref_datasets", None, is_package=True)
+        spec.submodule_search_locations = path
+        pkg.__spec__ = spec
+        pkg.__path__ = path
+        sys.modules["ref_datasets"] = pkg
 
 
 def load_model_conf(conf_path: str) -> ConfigTree:
