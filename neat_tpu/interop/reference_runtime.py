@@ -73,6 +73,19 @@ class ConfigTree(dict):
         return self._get(key, default, self._MARKER)
 
 
+class ConfigFactory:
+    """pyhocon.ConfigFactory lookalike backed by the repo's native HOCON
+    parser; enough for the reference entry points' module-scope import and
+    `ConfigFactory.parse_file(...)` (neat-final-parsing.py:7,349)."""
+
+    @staticmethod
+    def parse_file(path: str) -> "ConfigTree":
+        from ..train.config import parse_hocon
+
+        with open(path) as f:
+            return as_config_tree(parse_hocon(f.read()))
+
+
 def as_config_tree(d: Dict[str, Any]) -> ConfigTree:
     out = ConfigTree()
     for k, v in d.items():
@@ -96,7 +109,10 @@ def install_reference_stubs() -> None:
     if "pyhocon" not in sys.modules:
         mod = types.ModuleType("pyhocon")
         mod.ConfigTree = ConfigTree
+        mod.ConfigFactory = ConfigFactory
         sys.modules["pyhocon"] = mod
+    elif not hasattr(sys.modules["pyhocon"], "ConfigFactory"):
+        sys.modules["pyhocon"].ConfigFactory = ConfigFactory
     import importlib.machinery
 
     for name in ("open3d", "trimesh", "skimage"):
@@ -204,6 +220,24 @@ def install_dataset_stubs() -> None:
         pkg.__spec__ = spec
         pkg.__path__ = path
         sys.modules["ref_datasets"] = pkg
+
+
+def load_reference_script(filename: str, alias: str):
+    """Import a top-level reference script (dash-named, so not importable by
+    module name), e.g. ``neat-final-parsing.py`` — after installing the
+    stubs it needs. Idempotent per alias."""
+    install_dataset_stubs()
+    if alias in sys.modules:
+        return sys.modules[alias]
+    import importlib.util
+    import os.path as osp
+
+    path = osp.join(REFERENCE_CODE, filename)
+    spec = importlib.util.spec_from_file_location(alias, path)
+    module = importlib.util.module_from_spec(spec)
+    sys.modules[alias] = module
+    spec.loader.exec_module(module)
+    return module
 
 
 def load_model_conf(conf_path: str) -> ConfigTree:
