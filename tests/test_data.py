@@ -366,6 +366,7 @@ class TestLoadSceneForConfig:
                 # (zero-score lines, empty verts mask, full pixel coverage)
                 assert scene.n_lines.max() == 0 and not scene.verts_mask.any(), cls
 
+    @pytest.mark.slow  # compiles + runs a train step; ~35 s
     def test_plain_dataset_kind_trains(self, tmp_path):
         """The vanilla (wireframe-less) dataset classes must TRAIN, not
         just load: the reference pairs them with plain VolSDF and samples

@@ -95,6 +95,7 @@ class TestBackendBranches:
         nm = np.load(tmp_path / "cues" / "000000_normal.npy")
         assert nm.shape == (3,) + RES
 
+    @pytest.mark.slow  # loads a transformers pipeline; ~50 s
     def test_transformers_fallback(self, tmp_path, monkeypatch):
         transformers = pytest.importorskip("transformers")
         img_dir = str(tmp_path / "image")
@@ -202,6 +203,7 @@ class TestCueToLossChain:
         assert scene.depth.shape == (scene.n_images, 32 * 32)
         assert (scene.depth > 0).all()
 
+    @pytest.mark.slow  # full forward+loss compile chain; ~90 s
     def test_ground_truth_and_both_loss_kinds(self, scene):
         import jax
 

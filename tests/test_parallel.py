@@ -216,6 +216,7 @@ def test_flagship_config_sharded_step():
         assert len(leaf.sharding.device_set) == N_DEV
 
 
+@pytest.mark.slow  # two full chunk-eval compiles on the 8-dev mesh; ~30 s
 class TestShardedChunkInference:
     """Offline distillation / rendering chunks shard over the same mesh
     as training (params replicated, ray axis split) and must match the

@@ -454,3 +454,88 @@ def test_apply_env_platform(monkeypatch):
     monkeypatch.delenv("JAX_PLATFORMS")
     apply_env_platform()
     assert jax.config.jax_platforms == "cpu"
+
+
+class TestCheckpointDurability:
+    """Atomic snapshot writes + corrupted-resume fallback: a preemption
+    mid-save must never cost more than one save interval (the runner's
+    crash-and-resume contract; the reference has no such guarantee —
+    volsdf_train.py torch.save writes in place)."""
+
+    def _state(self, val):
+        import jax.numpy as jnp
+
+        from neat_tpu.train.step import TrainState
+
+        return TrainState(
+            params={"w": jnp.full((4,), float(val))},
+            opt_state={"m": jnp.zeros((4,))},
+            step=jnp.asarray(val, jnp.int32),
+        )
+
+    def test_truncated_latest_falls_back_to_newest_epoch(self, tmp_path):
+        import numpy as np
+
+        from neat_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+        d = str(tmp_path / "ckpts")
+        save_checkpoint(d, self._state(1), epoch=1)
+        save_checkpoint(d, self._state(2), epoch=2)
+        # simulate a kill mid-write of latest.ckpt (torn file)
+        p = tmp_path / "ckpts" / "latest.ckpt"
+        blob = p.read_bytes()
+        p.write_bytes(blob[: len(blob) // 2])
+        state, epoch = load_checkpoint(d, "latest")
+        assert epoch == 2
+        assert float(np.asarray(state.params["w"][0])) == 2.0
+
+    def test_garbage_latest_falls_back(self, tmp_path):
+        from neat_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+        d = str(tmp_path / "ckpts")
+        save_checkpoint(d, self._state(5), epoch=5)
+        (tmp_path / "ckpts" / "latest.ckpt").write_bytes(b"\x00" * 64)
+        state, epoch = load_checkpoint(d, "latest")
+        assert epoch == 5
+
+    def test_unrecoverable_raises(self, tmp_path):
+        import pytest as _pytest
+
+        from neat_tpu.train.checkpoint import load_checkpoint
+
+        d = tmp_path / "ckpts"
+        d.mkdir()
+        (d / "latest.ckpt").write_bytes(b"junk")
+        with _pytest.raises(RuntimeError, match="corrupt"):
+            load_checkpoint(str(d), "latest")
+
+    def test_save_interrupted_midwrite_preserves_previous(self, tmp_path, monkeypatch):
+        """Kill the process (simulated as an exception) inside the tmp-file
+        write: the previous latest.ckpt must remain valid and no tmp litter
+        survives."""
+        import numpy as np
+
+        import neat_tpu.train.checkpoint as ck
+
+        d = str(tmp_path / "ckpts")
+        ck.save_checkpoint(d, self._state(1), epoch=1)
+
+        calls = {"n": 0}
+        real = ck._atomic_write
+
+        def flaky(path, write_fn):
+            calls["n"] += 1
+            if calls["n"] == 2:  # die mid-way through the second file
+                raise KeyboardInterrupt
+            real(path, write_fn)
+
+        monkeypatch.setattr(ck, "_atomic_write", flaky)
+        try:
+            ck.save_checkpoint(d, self._state(9), epoch=9)
+        except KeyboardInterrupt:
+            pass
+        state, epoch = ck.load_checkpoint(d, "latest")
+        assert epoch in (1, 9)  # whichever replace completed — both valid
+        assert float(np.asarray(state.params["w"][0])) == float(epoch)
+        leftovers = [f for f in (tmp_path / "ckpts").iterdir() if ".tmp" in f.name]
+        assert not leftovers
