@@ -156,11 +156,17 @@ def auction_assignment(
         it, _, _, col_of_row = state
         return (it < n_iters) & jnp.any(row_mask & (col_of_row < 0))
 
+    # derive the init carry from `cost` (x*0 keeps the varying-mesh-axes
+    # tag) so the while_loop carry type matches the body output when this
+    # runs inside jax.shard_map on gathered data — constants would be
+    # invariant and trip check_vma (the pod train step hits this)
+    zc = cost[0, :] * 0
+    zr = cost[:, 0] * 0
     init = (
         jnp.asarray(0, dtype=jnp.int32),
-        jnp.zeros((n_cols,), dtype=cost.dtype),
-        jnp.full((n_cols,), -1, dtype=jnp.int32),
-        jnp.full((n_rows,), -1, dtype=jnp.int32),
+        jnp.zeros((n_cols,), dtype=cost.dtype) + zc,
+        jnp.full((n_cols,), -1, dtype=jnp.int32) + zc.astype(jnp.int32),
+        jnp.full((n_rows,), -1, dtype=jnp.int32) + zr.astype(jnp.int32),
     )
     it, _, _, col_of_row = jax.lax.while_loop(cond, body, init)
     safe_col = jnp.where(col_of_row >= 0, col_of_row, 0)

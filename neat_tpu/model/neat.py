@@ -203,7 +203,9 @@ def init_neat(key, cfg: NeatConfig) -> Params:
     return params
 
 
-def _sample_z(rng, ray_dirs, cam_loc, params, cfg: NeatConfig, training: bool):
+def _sample_z(
+    rng, ray_dirs, cam_loc, params, cfg: NeatConfig, training: bool, noise=None
+):
     if cfg.sampler_kind == "error_bound":
         if cfg.use_pallas_sampler:
             from ..ops.fused_sdf import fused_sdf_eval
@@ -225,6 +227,7 @@ def _sample_z(rng, ray_dirs, cam_loc, params, cfg: NeatConfig, training: bool):
             cfg.sampler,
             training,
             beta_min=cfg.density_beta_min,
+            noise=noise,
         )
     elif cfg.sampler_kind == "uniform":
         ucfg = UniformSamplerConfig(
@@ -232,13 +235,64 @@ def _sample_z(rng, ray_dirs, cam_loc, params, cfg: NeatConfig, training: bool):
             near=cfg.sampler.near,
             n_samples=cfg.sampler.n_samples,
         )
-        z = uniform_z_vals(rng, ray_dirs, cam_loc, ucfg, training)
-        eik_idx = jax.random.randint(
-            jax.random.fold_in(rng, 1), (z.shape[0], 1), 0, z.shape[-1]
+        noise = noise or {}
+        z = uniform_z_vals(
+            rng, ray_dirs, cam_loc, ucfg, training, t_rand=noise.get("strat")
         )
+        eik_idx = noise.get("eik_z_idx")
+        if eik_idx is None:
+            eik_idx = jax.random.randint(
+                jax.random.fold_in(rng, 1), (z.shape[0], 1), 0, z.shape[-1]
+            )
         z_eik = jnp.take_along_axis(z, eik_idx, axis=-1)
         return jax.lax.stop_gradient(z), jax.lax.stop_gradient(z_eik)
     raise ValueError(cfg.sampler_kind)
+
+
+def draw_forward_noise(rng, n_rays: int, cfg: NeatConfig) -> Dict[str, jnp.ndarray]:
+    """Pre-draw every random array a training-mode ``neat_forward`` consumes,
+    with the exact key-split sequence the internal draws use — so
+    ``neat_forward(rng=k)`` and ``neat_forward(rng=k,
+    noise=draw_forward_noise(k, R, cfg))`` are bit-identical.
+
+    The shard_map pod step (train/step.py) calls this OUTSIDE the shard body
+    at global batch shape and shards the per-ray arrays over the mesh, so
+    per-shard execution consumes exactly its rows of the one global stream.
+    Per-ray arrays: strat, final_u, eik_z_idx, eik_uniform; ray-shared:
+    z_extra_idx (replicated)."""
+    from ..sampling.samplers import total_final_samples, total_proposal_samples
+
+    r_sample, r_eik_pts = jax.random.split(rng)
+    bs = cfg.scene_bounding_sphere
+    noise: Dict[str, jnp.ndarray] = {
+        "eik_uniform": jax.random.uniform(
+            r_eik_pts, (n_rays, 3), minval=-bs, maxval=bs, dtype=jnp.float32
+        )
+    }
+    if cfg.sampler_kind == "error_bound":
+        s = cfg.sampler
+        r_uni, r_final, r_perm, r_eik = jax.random.split(r_sample, 4)
+        noise["strat"] = jax.random.uniform(
+            r_uni, (n_rays, s.n_samples_eval), dtype=jnp.float32
+        )
+        noise["final_u"] = jax.random.uniform(r_final, (n_rays, s.n_samples))
+        if s.n_samples_extra > 0:
+            noise["z_extra_idx"] = jax.random.permutation(
+                r_perm, total_proposal_samples(s)
+            )[: s.n_samples_extra]
+        noise["eik_z_idx"] = jax.random.randint(
+            r_eik, (n_rays, 1), 0, total_final_samples(s)
+        )
+    elif cfg.sampler_kind == "uniform":
+        noise["strat"] = jax.random.uniform(
+            r_sample, (n_rays, cfg.sampler.n_samples), dtype=jnp.float32
+        )
+        noise["eik_z_idx"] = jax.random.randint(
+            jax.random.fold_in(r_sample, 1), (n_rays, 1), 0, cfg.sampler.n_samples
+        )
+    else:
+        raise ValueError(cfg.sampler_kind)
+    return noise
 
 
 def _masked_median(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -260,6 +314,8 @@ def neat_forward(
     cfg: NeatConfig,
     rng,
     training: bool = True,
+    noise: Optional[Dict[str, jnp.ndarray]] = None,
+    shard_axis: Optional[str] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Full NEAT forward pass.
 
@@ -273,7 +329,30 @@ def neat_forward(
 
     Returns the reference's output dict keys plus `_mask` companions for
     padded entries.
+
+    ``noise`` optionally injects all random draws (draw_forward_noise).
+    ``shard_axis``: when called inside jax.shard_map with the ray batch
+    split over that mesh axis, the per-ray segment (sampler, field evals,
+    volume rendering, attraction — the pallas-capable hot path) runs on the
+    local shard, then every per-ray tensor is all_gather'ed so the
+    junction-proposal block and the downstream loss see the full global
+    batch, exactly as the single-program GSPMD step does. Cameras and
+    params must be passed replicated, per-ray inputs/noise sharded.
     """
+    if shard_axis is not None:
+        if cfg.junction_eikonal or cfg.dual_batch:
+            raise NotImplementedError(
+                "shard_axis does not support junction_eikonal/dual_batch "
+                "(their loss terms mix replicated and sharded gradient "
+                "paths inside one reduction); use the GSPMD step for "
+                "these variants"
+            )
+        if noise is None and training:
+            raise ValueError(
+                "shard_axis requires pre-drawn noise (draw_forward_noise "
+                "at global batch shape, sharded over rays) — internal "
+                "draws would be per-shard streams"
+            )
     r_sample, r_eik = jax.random.split(rng)
     uv = inputs["uv"]
     pose = inputs["pose"]
@@ -289,7 +368,7 @@ def neat_forward(
     # backward ops inherit the scope under transpose(...))
     with jax.named_scope("sampler"):
         z_vals, z_eik = _sample_z(
-            r_sample, ray_dirs, cam_loc, params, cfg, training
+            r_sample, ray_dirs, cam_loc, params, cfg, training, noise=noise
         )
     n_samples = z_vals.shape[-1]
 
@@ -366,14 +445,24 @@ def neat_forward(
         normals = normals.reshape(n_rays, n_samples, 3)
         out["normal_map"] = jnp.sum(weights[..., None] * normals, axis=1)
 
+    gather = (
+        (lambda x: jax.lax.all_gather(x, shard_axis, axis=0, tiled=True))
+        if shard_axis is not None
+        else (lambda x: x)
+    )
+
     if cfg.model_variant != "neat":
         # vanilla VolSDF: eikonal points and done
         out["sdf"] = jax.lax.stop_gradient(sdf.reshape(n_rays, n_samples))
         if training:
             out["grad_theta"] = _eikonal_gradients(
-                params, cfg, r_eik, n_rays, cam_loc, ray_dirs, z_eik, None
+                params, cfg, r_eik, n_rays, cam_loc, ray_dirs, z_eik, None,
+                eik_uniform=None if noise is None else noise["eik_uniform"],
             )
-        return out
+        # shard_map mode: globalize the per-ray outputs for the loss
+        # (grad_theta's uniform/near block order differs from the global
+        # layout but the eikonal mean is permutation-invariant)
+        return {k: gather(v) for k, v in out.items()}
 
     # surface point and a second field evaluation there
     with jax.named_scope("surface_eval"):
@@ -513,6 +602,23 @@ def neat_forward(
         ).reshape(n_rays, 2, 3)
         lines2d = project2d(k3, rot, trans, lines3d)
 
+    if shard_axis is not None:
+        # Globalize every per-ray tensor: the junction-proposal block below
+        # (median gating, assignment against the per-view HAWP junctions)
+        # and the loss reductions are batch-global operations; gathering
+        # here makes them run on the full batch, replicated across shards —
+        # numerically identical to the GSPMD step. Gradients flow through
+        # all_gather back to each shard's own rows (its transpose is a
+        # slice), so psum'd parameter grads are exact.
+        out = {k: gather(v) for k, v in out.items()}
+        lines3d = gather(lines3d)
+        lines2d = gather(lines2d)
+        lines2d_calib = gather(lines2d_calib)
+        l3d = gather(l3d)
+        l3d_score = gather(l3d_score)
+        points3d = gather(points3d)
+        points3d_sdf = gather(points3d_sdf)
+
     out.update(
         {
             "l3d": l3d,
@@ -588,30 +694,38 @@ def neat_forward(
 
         # ----- eikonal sample points --------------------------------------
         with jax.named_scope("eikonal"):
-            out["grad_theta"] = _eikonal_gradients(
-                params,
-                cfg,
-                r_eik,
-                n_rays,
-                cam_loc,
-                ray_dirs,
-                z_eik,
-                jax.lax.stop_gradient(junctions3d_global)
-                if cfg.junction_eikonal else None,
+            # computed on the LOCAL rays then gathered; the per-shard
+            # [uniform | near] block order permutes the global layout, but
+            # the eikonal loss is a mean over all points
+            out["grad_theta"] = gather(
+                _eikonal_gradients(
+                    params,
+                    cfg,
+                    r_eik,
+                    n_rays,
+                    cam_loc,
+                    ray_dirs,
+                    z_eik,
+                    jax.lax.stop_gradient(junctions3d_global)
+                    if cfg.junction_eikonal else None,
+                    eik_uniform=None if noise is None else noise["eik_uniform"],
+                )
             )
 
     return out
 
 
 def _eikonal_gradients(
-    params, cfg: NeatConfig, rng, n_rays, cam_loc, ray_dirs, z_eik, extra_points
+    params, cfg: NeatConfig, rng, n_rays, cam_loc, ray_dirs, z_eik, extra_points,
+    eik_uniform=None,
 ):
     """Raw SDF gradients at uniform + near-surface (+ optional junction)
     points (reference neat_wfr_rend_a.py:515-527)."""
     bs = cfg.scene_bounding_sphere
-    eik_uniform = jax.random.uniform(
-        rng, (n_rays, 3), minval=-bs, maxval=bs, dtype=cam_loc.dtype
-    )
+    if eik_uniform is None:
+        eik_uniform = jax.random.uniform(
+            rng, (n_rays, 3), minval=-bs, maxval=bs, dtype=cam_loc.dtype
+        )
     eik_near = (cam_loc[:, None, :] + z_eik[..., None] * ray_dirs[:, None, :]).reshape(
         -1, 3
     )

@@ -83,10 +83,16 @@ def sample_pdf(
     weights: jnp.ndarray,
     n_samples: int,
     det: bool = False,
+    u: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Hierarchical sampling (reference ray_sampler.py:16-59).
 
     bins: (R, S); weights: (R, S-1) -> samples (R, n_samples).
+
+    ``u`` optionally injects the (R, n_samples) uniform draw — used by the
+    shard_map pod step, which draws all randomness at global batch shape
+    outside the shard body so each shard consumes exactly its rows of the
+    same stream (train/step.py).
     """
     weights = weights + 1e-5
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
@@ -96,7 +102,7 @@ def sample_pdf(
         u = jnp.broadcast_to(
             jnp.linspace(0.0, 1.0, n_samples), (*cdf.shape[:-1], n_samples)
         )
-    else:
+    elif u is None:
         u = jax.random.uniform(rng, (*cdf.shape[:-1], n_samples))
     return _invert_cdf(bins, cdf, u)
 
@@ -125,9 +131,11 @@ def uniform_z_vals(
     cam_loc: jnp.ndarray,
     cfg: UniformSamplerConfig,
     training: bool,
+    t_rand: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Uniform (optionally stratified) z values (reference ray_sampler.py:
-    69-95). ray_dirs, cam_loc: (R, 3) -> (R, n_samples)."""
+    69-95). ray_dirs, cam_loc: (R, 3) -> (R, n_samples). ``t_rand``
+    optionally injects the stratification draw (see sample_pdf)."""
     n_rays = ray_dirs.shape[0]
     near = jnp.full((n_rays, 1), cfg.near, dtype=ray_dirs.dtype)
     if cfg.take_sphere_intersection:
@@ -144,7 +152,8 @@ def uniform_z_vals(
         mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
         upper = jnp.concatenate([mids, z_vals[..., -1:]], axis=-1)
         lower = jnp.concatenate([z_vals[..., :1], mids], axis=-1)
-        t_rand = jax.random.uniform(rng, z_vals.shape, dtype=z_vals.dtype)
+        if t_rand is None:
+            t_rand = jax.random.uniform(rng, z_vals.shape, dtype=z_vals.dtype)
         z_vals = lower + (upper - lower) * t_rand
     return z_vals
 
@@ -230,6 +239,17 @@ def _error_bound(
     return jnp.max(bound, axis=-1)
 
 
+def total_proposal_samples(cfg: ErrorBoundSamplerConfig) -> int:
+    """Length of the proposal z grid after all refinement rounds (each
+    refine concatenates n_samples_eval more)."""
+    return cfg.n_samples_eval * cfg.max_total_iters
+
+
+def total_final_samples(cfg: ErrorBoundSamplerConfig) -> int:
+    """Length of the returned z_vals (n_samples + near/far + extras)."""
+    return cfg.n_samples + cfg.n_samples_extra + 2
+
+
 def error_bound_z_vals(
     rng,
     ray_dirs: jnp.ndarray,
@@ -239,14 +259,25 @@ def error_bound_z_vals(
     cfg: ErrorBoundSamplerConfig,
     training: bool,
     beta_min: float = 1e-4,
+    noise: dict = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """VolSDF Algorithm-1 sampling with static shapes.
 
     sdf_fn: (N, 3) -> (N,) clamped SDF (evaluated as constants — outputs are
     stop_gradient'ed). Returns (z_vals (R, n_samples + n_samples_extra + 2),
     z_eik (R, 1)).
+
+    ``noise`` optionally injects every random draw (shard_map pod step;
+    model/neat.py draw_forward_noise builds it with the exact key-split
+    sequence this function would use internally, so noise-injected and
+    internal-draw results are bit-identical):
+      strat       (R, n_samples_eval)  stratification uniforms
+      final_u     (R, n_samples)       final inverse-CDF uniforms
+      z_extra_idx (n_samples_extra,)   ray-shared extra-sample indices
+      eik_z_idx   (R, 1)               eikonal z index in [0, total_final)
     """
     r_uni, r_final, r_perm, r_eik = jax.random.split(rng, 4)
+    noise = noise or {}
     n_rays = ray_dirs.shape[0]
     dtype = ray_dirs.dtype
 
@@ -257,7 +288,9 @@ def error_bound_z_vals(
         n_samples=cfg.n_samples_eval,
         take_sphere_intersection=cfg.inverse_sphere_bg,
     )
-    z_vals = uniform_z_vals(r_uni, ray_dirs, cam_loc, uni_cfg, training)
+    z_vals = uniform_z_vals(
+        r_uni, ray_dirs, cam_loc, uni_cfg, training, t_rand=noise.get("strat")
+    )
 
     def eval_sdf(z):
         pts = cam_loc[:, None, :] + z[..., None] * ray_dirs[:, None, :]
@@ -394,7 +427,8 @@ def error_bound_z_vals(
 
     # final draw from the rendering weights (reference ray_sampler.py:218-249)
     z_samples = sample_pdf(
-        r_final, z_vals, weights[..., :-1], cfg.n_samples, det=not training
+        r_final, z_vals, weights[..., :-1], cfg.n_samples, det=not training,
+        u=noise.get("final_u"),
     )
 
     near = jnp.full((n_rays, 1), cfg.near, dtype=dtype)
@@ -407,10 +441,12 @@ def error_bound_z_vals(
 
     total = z_vals.shape[-1]
     if cfg.n_samples_extra > 0:
-        if training:
-            idx = jax.random.permutation(r_perm, total)[: cfg.n_samples_extra]
-        else:
+        if not training:
             idx = jnp.linspace(0, total - 1, cfg.n_samples_extra).astype(jnp.int32)
+        elif "z_extra_idx" in noise:
+            idx = noise["z_extra_idx"]
+        else:
+            idx = jax.random.permutation(r_perm, total)[: cfg.n_samples_extra]
         z_extra = jnp.concatenate([near, far, z_vals[:, idx]], axis=-1)
     else:
         z_extra = jnp.concatenate([near, far], axis=-1)
@@ -418,6 +454,8 @@ def error_bound_z_vals(
     z_all = jnp.sort(jnp.concatenate([z_samples, z_extra], axis=-1), axis=-1)
 
     # one random near-surface sample per ray for the eikonal term
-    eik_idx = jax.random.randint(r_eik, (n_rays, 1), 0, z_all.shape[-1])
+    eik_idx = noise.get("eik_z_idx")
+    if eik_idx is None:
+        eik_idx = jax.random.randint(r_eik, (n_rays, 1), 0, z_all.shape[-1])
     z_eik = jnp.take_along_axis(z_all, eik_idx, axis=-1)
     return jax.lax.stop_gradient(z_all), jax.lax.stop_gradient(z_eik)

@@ -66,6 +66,36 @@ def scene_to_device(scene: SceneData, sharding=None) -> Dict[str, jnp.ndarray]:
     return {k: jax.device_put(jnp.asarray(v)) for k, v in arrays.items()}
 
 
+def resolve_parallel_mode(requested: str, model_cfg, n_rays: int, n_dev: int):
+    """Pick the multi-chip step mode and whether the pallas kernels must be
+    dropped. Returns (mode, disable_pallas).
+
+    shard_map is the pod fast path (per-shard pallas kernels, psum'd grads);
+    gspmd is the strict-parity single-global-program path — and GSPMD cannot
+    partition an opaque pallas_call, so requesting (or falling back to)
+    gspmd with pallas kernels on forces them off rather than letting a real
+    pod silently replicate or fail at compile. dual_batch/junction_eikonal
+    mix replicated and sharded gradient paths in one reduction and are
+    gspmd-only (model/neat.py neat_forward shard_axis gate)."""
+    pallas_on = model_cfg.use_pallas_sampler or model_cfg.use_pallas_field
+    shardmap_ok = (
+        not model_cfg.dual_batch
+        and not model_cfg.junction_eikonal
+        and n_rays % n_dev == 0
+    )
+    if requested == "auto":
+        requested = "shard_map" if (pallas_on and shardmap_ok) else "gspmd"
+    if requested == "shard_map":
+        if not shardmap_ok:
+            raise ValueError(
+                "parallel_mode=shard_map requires n_rays divisible by the "
+                f"mesh ({n_rays} % {n_dev} != 0) and no dual_batch/"
+                "junction_eikonal variant flags"
+            )
+        return "shard_map", False
+    return "gspmd", pallas_on
+
+
 class TrainRunner:
     def __init__(
         self,
@@ -89,6 +119,7 @@ class TrainRunner:
         gitexp: bool = False,
         field_dtype: Optional[str] = None,
         field_path: Optional[str] = None,
+        parallel_mode: str = "auto",
     ):
         self.do_vis = do_vis
         self.gitexp = gitexp
@@ -287,18 +318,47 @@ class TrainRunner:
                 self.logger.warning("tensorboard unavailable; continuing without")
 
         # multi-chip: shard the per-pixel scene tables and the ray batch
-        # over a 1-D data mesh; params replicated, grads psum'd by GSPMD
+        # over a 1-D data mesh. Two step modes (make_train_step docstring):
+        #   shard_map — the pod fast path: per-shard pallas kernels, psum'd
+        #               grads; the default whenever the pallas kernels are
+        #               on (GSPMD cannot partition an opaque pallas_call)
+        #   gspmd     — one global program with sharding constraints; the
+        #               strict-parity path (and the only one for the
+        #               dual_batch / junction_eikonal variants)
         data_sharding = None
         mesh = None
+        shard_map_mesh = None
         if use_mesh and len(jax.devices()) > 1:
             from ..parallel.mesh import make_mesh, ray_sharding
 
             mesh = make_mesh()
-            data_sharding = ray_sharding(mesh)
+            n_dev = len(mesh.devices.flat)
+            parallel_mode, disable_pallas = resolve_parallel_mode(
+                parallel_mode, self.cfg.model, self.n_rays, n_dev
+            )
+            if parallel_mode == "shard_map":
+                shard_map_mesh = mesh
+            else:
+                data_sharding = ray_sharding(mesh)
+                if disable_pallas:
+                    self.cfg = dataclasses.replace(
+                        self.cfg,
+                        model=dataclasses.replace(
+                            self.cfg.model,
+                            use_pallas_sampler=False,
+                            use_pallas_field=False,
+                        ),
+                    )
+                    self.logger.info(
+                        "pallas kernels disabled: GSPMD multi-chip mode "
+                        "cannot partition pallas_call (use "
+                        "--parallel_mode shard_map for the fused fast path)"
+                    )
             self.logger.info(
-                f"data-parallel mesh over {len(mesh.devices.flat)} devices"
+                f"data-parallel mesh over {n_dev} devices ({parallel_mode})"
             )
         self.mesh = mesh
+        self.parallel_mode = parallel_mode if mesh is not None else "single"
         if mesh is not None:
             # replicate model/opt state over the mesh explicitly: under
             # multi-process (DCN) every jit input must be a global array,
@@ -316,6 +376,7 @@ class TrainRunner:
             self.n_rays,
             self.scene.img_res[1],
             data_sharding=data_sharding,
+            shard_map_mesh=shard_map_mesh,
         )
 
     # ------------------------------------------------------------------
@@ -519,6 +580,15 @@ def main(argv=None):
                         help="TensorBoard scalar logging (reference --use_tb)")
     parser.add_argument("--mesh", default=False, action="store_true",
                         help="shard the ray batch over all visible devices")
+    parser.add_argument("--parallel_mode", default="auto",
+                        choices=["auto", "shard_map", "gspmd"],
+                        help="multi-chip step mode (with --mesh): shard_map "
+                        "runs the pallas-capable fused path per shard with "
+                        "psum'd grads (the pod fast path); gspmd compiles "
+                        "one global program with sharding constraints "
+                        "(strict-parity path; required for dual_batch/"
+                        "junction_eikonal). auto picks shard_map whenever "
+                        "the pallas kernels are enabled and compatible")
     parser.add_argument("--do_vis", default=False, action="store_true",
                         help="render preview plots every plot_freq epochs")
     parser.add_argument("--gitexp", default=False, action="store_true",
@@ -593,6 +663,7 @@ def main(argv=None):
         gitexp=args.gitexp,
         field_dtype=args.field_dtype,
         field_path=args.field_path,
+        parallel_mode=args.parallel_mode,
     )
     runner.run()
 

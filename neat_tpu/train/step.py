@@ -159,12 +159,34 @@ def make_train_step(
     img_width: int,
     data_sharding=None,
     donate: bool = True,
+    shard_map_mesh=None,
+    shard_axis: str = "data",
 ):
     """Build the jitted step function.
 
     step(state, scene, rng) -> (state, metrics)
+
+    Multi-chip modes:
+      * ``data_sharding`` (GSPMD): one global program with sharding
+        constraints on the ray batch; XLA partitions it. Cannot partition
+        an opaque pallas_call — incompatible with the pallas fast path.
+      * ``shard_map_mesh`` (pod step): the per-ray forward+backward runs
+        inside jax.shard_map over ``shard_axis`` — each shard executes the
+        (pallas-capable) hot path on its rows, per-ray tensors are
+        all_gather'ed for the batch-global junction matching and loss, and
+        parameter grads are psum'd. Numerically equivalent to the GSPMD
+        step for the same sampled batch and noise (tests/test_parallel.py
+        asserts it); randomness is pre-drawn at global shape via
+        model.neat.draw_forward_noise so shards consume one global stream.
     """
     optimizer = make_optimizer(lr, decay_rate, decay_steps)
+    if shard_map_mesh is not None and data_sharding is not None:
+        raise ValueError("choose one of data_sharding (GSPMD) or shard_map_mesh")
+    if shard_map_mesh is not None:
+        return _make_shard_map_step(
+            model_cfg, loss_cfg, optimizer, n_rays, img_width,
+            shard_map_mesh, shard_axis, donate,
+        )
 
     def loss_fn(params, inputs, ground_truth, rng):
         if model_cfg.dual_batch:
@@ -225,6 +247,112 @@ def make_train_step(
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, inputs, ground_truth, r_fwd
         )
+        with jax.named_scope("adam"):
+            updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+        return new_state, aux
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def _make_shard_map_step(
+    model_cfg: NeatConfig,
+    loss_cfg: LossConfig,
+    optimizer,
+    n_rays: int,
+    img_width: int,
+    mesh,
+    axis: str,
+    donate: bool,
+):
+    """The shard_map pod step (see make_train_step docstring).
+
+    Gradient exactness: after the forward's all_gathers, every shard
+    computes the SAME global loss L on the full batch. Under shard_map's
+    varying-mesh-axes autodiff, the scalar actually differentiated is the
+    sum of the per-shard outputs (replicated params enter through an
+    implicit pvary whose transpose is a psum; the all_gather transpose
+    psum-scatters the identical per-shard cotangents) — i.e. grad(Σ_k L)
+    = n_shards · grad(L), uniformly for sharded and replicated gradient
+    paths. Dividing the per-shard loss by n_shards makes the implicit
+    objective exactly L, so the returned (already shard-invariant) grads
+    equal the single-program gradient to fp precision
+    (tests/test_parallel.py asserts ≤1e-5 relative). Reported metrics are
+    the unscaled global values.
+    """
+    from ..model.neat import draw_forward_noise
+    from jax.sharding import PartitionSpec as P
+
+    n_shards = mesh.devices.size
+    if n_rays % n_shards != 0:
+        raise ValueError(
+            f"n_rays={n_rays} must divide over the {n_shards}-shard mesh"
+        )
+    if model_cfg.dual_batch or model_cfg.junction_eikonal:
+        raise NotImplementedError(
+            "dual_batch/junction_eikonal variants are GSPMD-only "
+            "(see neat_forward shard_axis gate)"
+        )
+
+    def pod_body(params, inputs, ground_truth, noise, rng):
+        def loss_fn(params):
+            out = neat_forward(
+                params, inputs, model_cfg, rng, training=True,
+                noise=noise, shard_axis=axis,
+            )
+            gt_g = jax.tree_util.tree_map(
+                lambda v: jax.lax.all_gather(v, axis, axis=0, tiled=True),
+                ground_truth,
+            )
+            with jax.named_scope("loss"):
+                losses = neat_loss(out, gt_g, loss_cfg)
+            aux = dict(losses)
+            aux["psnr"] = psnr_fn(out["rgb_values"], gt_g["rgb"])
+            return losses["loss"] / n_shards, aux
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+        # Most grad leaves come back invariant (the implicit pvary of the
+        # replicated params is transposed to a psum). The pallas custom-VJP
+        # kernels bypass that transpose — their backward returns per-shard
+        # partial grads still varying over the axis — so psum exactly the
+        # leaves whose vma says so; the result matches the auto-psummed
+        # scale (the /n_shards above compensates both uniformly).
+        def _ensure_invariant(g):
+            vma = getattr(jax.typeof(g), "vma", None) or frozenset()
+            return jax.lax.psum(g, axis) if axis in vma else g
+
+        grads = jax.tree_util.tree_map(_ensure_invariant, grads)
+        # metrics are already shard-identical; pmean marks them invariant
+        aux = jax.lax.pmean(aux, axis)
+        return grads, aux
+
+    def step(state: TrainState, scene: Dict[str, jnp.ndarray], rng) -> Tuple[TrainState, Dict]:
+        r_batch, r_fwd = jax.random.split(jax.random.fold_in(rng, state.step))
+        with jax.named_scope("batch_sample"):
+            inputs, ground_truth = sample_batch(r_batch, scene, n_rays, img_width)
+        noise = draw_forward_noise(r_fwd, n_rays, model_cfg)
+
+        ray = P(axis)
+        rep = P()
+        input_specs = {
+            "uv": ray, "uv_proj": ray,
+            "intrinsics": rep, "pose": rep,
+            "verts2d": rep, "verts_mask": rep,
+        }
+        gt_specs = {k: ray for k in ground_truth}
+        noise_specs = {
+            k: (rep if k == "z_extra_idx" else ray) for k in noise
+        }
+        grads, aux = jax.shard_map(
+            pod_body,
+            mesh=mesh,
+            in_specs=(rep, input_specs, gt_specs, noise_specs, rep),
+            out_specs=(rep, rep),
+        )(state.params, inputs, ground_truth, noise, r_fwd)
+
         with jax.named_scope("adam"):
             updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)

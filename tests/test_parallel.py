@@ -279,6 +279,203 @@ class TestShardedChunkInference:
         assert round_chunk_to_mesh(60, None) == 60
 
 
+def _run_shard_map_steps(cfg, scene_np, mesh, n_steps=2):
+    """Run n_steps of the shard_map pod step (scene/state replicated)."""
+    params = init_neat(jax.random.PRNGKey(0), cfg)
+    state = jax.device_put(
+        init_train_state(params, 5e-4, 0.1, 100), replicated_sharding(mesh)
+    )
+    scene = {
+        k: jax.device_put(jnp.asarray(v), replicated_sharding(mesh))
+        for k, v in scene_np.items()
+    }
+    step = make_train_step(
+        cfg, LossConfig(), 5e-4, 0.1, 100, N_RAYS, IMG_W,
+        shard_map_mesh=mesh, donate=False,
+    )
+    key = jax.device_put(jax.random.PRNGKey(7), replicated_sharding(mesh))
+    aux = None
+    with mesh:
+        for _ in range(n_steps):
+            state, aux = step(state, scene, key)
+        jax.block_until_ready(state.params)
+    return state, aux
+
+
+class TestShardMapPodStep:
+    """The shard_map pod step — the multi-chip mode that composes with the
+    pallas fast path (GSPMD cannot partition an opaque pallas_call;
+    train/step.py _make_shard_map_step). Numerics: each shard runs the
+    per-ray hot path on its rows, all_gathers for the batch-global junction
+    matching + loss, psums grads — equivalent to the GSPMD step for the
+    same batch and pre-drawn noise stream."""
+
+    @pytest.mark.slow
+    def test_matches_gspmd_step(self):
+        """Same seeds, same mesh: pod step vs GSPMD step, flagship-variant
+        tiny config (error-bounded sampler, junction losses live)."""
+        cfg = _tiny_cfg()
+        scene = _tiny_scene()
+        mesh = make_mesh(N_DEV)
+        state_g, aux_g = _run_steps(cfg, scene, mesh=mesh)
+        state_p, aux_p = _run_shard_map_steps(cfg, scene, mesh)
+        for k in aux_g:
+            np.testing.assert_allclose(
+                float(aux_g[k]), float(aux_p[k]), rtol=1e-5, atol=1e-6,
+                err_msg=k,
+            )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state_g.params),
+            jax.tree_util.tree_leaves(state_p.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
+            )
+
+    @pytest.mark.slow
+    def test_matches_single_device_smooth_config(self):
+        """Against the UNSHARDED step on a smooth config (uniform sampler +
+        volsdf variant — no discrete z-bin selection, so fp-exact agreement
+        is attainable; the error-bounded sampler's bin picks amplify
+        ulp-level blocking differences between compilations, which is why
+        the flagship check above compares same-shard-shape programs)."""
+        cfg = _tiny_cfg(model_variant="volsdf", sampler_kind="uniform")
+        scene = _tiny_scene()
+        state_1, aux_1 = _run_steps(cfg, scene, mesh=None)
+        state_p, aux_p = _run_shard_map_steps(cfg, scene, make_mesh(N_DEV))
+        np.testing.assert_allclose(
+            float(aux_1["loss"]), float(aux_p["loss"]), rtol=1e-5, atol=1e-6
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state_1.params),
+            jax.tree_util.tree_leaves(state_p.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
+            )
+
+    def test_grads_and_params_replicated(self):
+        """After a pod step every param leaf is a replicated global array
+        over the full mesh (the psum'd grads left no shard-varying state)."""
+        mesh = make_mesh(N_DEV)
+        state, aux = _run_shard_map_steps(_tiny_cfg(), _tiny_scene(), mesh,
+                                          n_steps=1)
+        assert np.isfinite(float(aux["loss"]))
+        for leaf in jax.tree_util.tree_leaves(state.params):
+            assert leaf.sharding.is_fully_replicated
+            assert len(leaf.sharding.device_set) == N_DEV
+
+    @pytest.mark.slow
+    def test_fused_pod_step_traces_at_canonical_arch(self):
+        """The pallas sampler + stash-field kernels — the shipped TPU
+        default — trace through the pod step over the 8-shard mesh at the
+        canonical architecture. (Execution needs a real TPU; pallas cannot
+        run on virtual CPU devices, and interpret-mode under shard_map is
+        blocked by the upstream vma interaction — ops/_vma.py. The
+        driver-adjacent real-chip execution check lives in
+        tools/pod_smoke.py and ran green on the 1-device TPU mesh.)"""
+        from neat_tpu.model.neat import NeatConfig
+
+        cfg = dataclasses.replace(
+            NeatConfig.for_abc(),
+            use_pallas_sampler=True,
+            use_pallas_field=True,
+            pallas_field_backward="stash",
+            field_compute_dtype="bfloat16",
+            max_verts=8,
+        )
+        mesh = make_mesh(N_DEV)
+        scene = _tiny_scene()
+        params = jax.eval_shape(lambda k: init_neat(k, cfg), jax.random.PRNGKey(0))
+        state = jax.eval_shape(
+            lambda p: init_train_state(p, 5e-4, 0.1, 100), params
+        )
+        step = make_train_step(
+            cfg, LossConfig(), 5e-4, 0.1, 100, 128 * N_DEV, IMG_W,
+            shard_map_mesh=mesh, donate=False,
+        )
+        scene_dev = {
+            k: jax.device_put(jnp.asarray(v), replicated_sharding(mesh))
+            for k, v in scene.items()
+        }
+        with mesh:
+            jax.eval_shape(step, state, scene_dev, jax.random.PRNGKey(1))
+
+    def test_rejects_incompatible_configs(self):
+        mesh = make_mesh(N_DEV)
+        with pytest.raises(NotImplementedError, match="dual_batch"):
+            make_train_step(
+                _tiny_cfg(dual_batch=True), LossConfig(), 5e-4, 0.1, 100,
+                N_RAYS, IMG_W, shard_map_mesh=mesh,
+            )
+        with pytest.raises(ValueError, match="divide"):
+            make_train_step(
+                _tiny_cfg(), LossConfig(), 5e-4, 0.1, 100,
+                N_RAYS + 1, IMG_W, shard_map_mesh=mesh,
+            )
+        with pytest.raises(ValueError, match="one of"):
+            make_train_step(
+                _tiny_cfg(), LossConfig(), 5e-4, 0.1, 100, N_RAYS, IMG_W,
+                data_sharding=ray_sharding(mesh), shard_map_mesh=mesh,
+            )
+
+    def test_resolve_parallel_mode_gate(self):
+        """The runner can never hand GSPMD a pallas_call: auto prefers
+        shard_map when the kernels are on, and an explicit gspmd request
+        (or an incompatible variant) forces them off."""
+        from neat_tpu.train.runner import resolve_parallel_mode
+
+        plain = _tiny_cfg()
+        fast = _tiny_cfg(use_pallas_sampler=True, use_pallas_field=True)
+        assert resolve_parallel_mode("auto", plain, 16, 8) == ("gspmd", False)
+        assert resolve_parallel_mode("auto", fast, 16, 8) == ("shard_map", False)
+        # explicit gspmd with kernels on -> disable them
+        assert resolve_parallel_mode("gspmd", fast, 16, 8) == ("gspmd", True)
+        # incompatible variant falls back to gspmd and drops the kernels
+        dual = _tiny_cfg(use_pallas_sampler=True, dual_batch=True)
+        assert resolve_parallel_mode("auto", dual, 16, 8) == ("gspmd", True)
+        # indivisible batch cannot shard_map
+        assert resolve_parallel_mode("auto", fast, 17, 8) == ("gspmd", True)
+        with pytest.raises(ValueError):
+            resolve_parallel_mode("shard_map", fast, 17, 8)
+        with pytest.raises(ValueError):
+            resolve_parallel_mode("shard_map", _tiny_cfg(dual_batch=True), 16, 8)
+
+
+@pytest.mark.parametrize("sampler_kind", ["error_bound", "uniform"])
+def test_draw_forward_noise_bit_identical(sampler_kind):
+    """neat_forward(rng=k) and neat_forward(rng=k, noise=draw_forward_noise
+    (k, R, cfg)) must be BIT-identical — the pod step pre-draws all
+    randomness at global batch shape and shards it, so shards consume
+    exactly their rows of the single global stream (model/neat.py)."""
+    from neat_tpu.model.neat import draw_forward_noise, neat_forward
+
+    cfg = _tiny_cfg(sampler_kind=sampler_kind)
+    params = init_neat(jax.random.PRNGKey(0), cfg)
+    scene = _tiny_scene()
+    inputs = {
+        "uv": jnp.asarray(scene["uv_proj"][0, :N_RAYS]),
+        "uv_proj": jnp.asarray(scene["uv_proj"][0, :N_RAYS]),
+        "intrinsics": jnp.asarray(scene["intrinsics"][0]),
+        "pose": jnp.asarray(scene["pose"][0]),
+        "verts2d": jnp.asarray(scene["verts2d"][0]),
+        "verts_mask": jnp.asarray(scene["verts_mask"][0]),
+    }
+    key = jax.random.PRNGKey(5)
+    fwd = jax.jit(
+        lambda noise: neat_forward(
+            params, inputs, cfg, key, training=True, noise=noise
+        )
+    )
+    out_internal = fwd(None)
+    out_injected = fwd(draw_forward_noise(key, N_RAYS, cfg))
+    assert out_internal.keys() == out_injected.keys()
+    for k in out_internal:
+        np.testing.assert_array_equal(
+            np.asarray(out_internal[k]), np.asarray(out_injected[k]), err_msg=k
+        )
+
+
 def _free_port() -> int:
     import socket
 

@@ -230,5 +230,24 @@ class TestMeshRunner:
             use_mesh=True,
         )
         assert r.mesh is not None and r.mesh.devices.size == 8
+        assert r.parallel_mode == "gspmd"  # auto: no pallas on CPU
+        r.run()
+        assert osp.exists(osp.join(r.rundir, "checkpoints", "latest.ckpt"))
+
+    def test_train_on_virtual_mesh_shard_map(self, workspace, tmp_path):
+        """--parallel_mode shard_map: the pod step (per-shard forward +
+        all_gather + psum'd grads) trains end-to-end through the runner on
+        the 8-device virtual mesh (num_pixels=32 divides by 8)."""
+        from neat_tpu.train.runner import TrainRunner
+
+        r = TrainRunner(
+            conf=str(workspace / "tiny.conf"),
+            data_root=str(workspace),
+            exps_folder=str(tmp_path / "exps"),
+            nepochs=2,
+            use_mesh=True,
+            parallel_mode="shard_map",
+        )
+        assert r.parallel_mode == "shard_map"
         r.run()
         assert osp.exists(osp.join(r.rundir, "checkpoints", "latest.ckpt"))
