@@ -47,12 +47,18 @@ def eval_dtu_points(
     downsample_radius: float = 0.2,
     max_dist: float = 20.0,
     patch_size: float = 60.0,
+    grid_cast_f32: bool = False,
 ) -> Dict[str, float]:
     """Compute ACC/COMP between a predicted point set and the GT STL points.
 
     obs_mask: (X, Y, Z) bool grid with bb (2, 3) bounds and res spacing;
     ground_plane: (4,) plane coefficients. Both optional (skipped if None),
     matching the reference protocol when masks are present.
+
+    grid_cast_f32: the wireframe protocols round the ObsMask grid index in
+    float32 (eval-wfr-dtu.py:55, eval-lsr-dtu.py:106) while the surface
+    protocol rounds in float64 (eval-dtu.py:106) — replicated exactly so
+    boundary points land in the same cells.
     """
     from scipy.spatial import cKDTree
 
@@ -65,7 +71,10 @@ def eval_dtu_points(
             (data_down >= bb[:1] - patch_size) & (data_down < bb[1:] + patch_size * 2)
         ).sum(-1) == 3
         data_in = data_down[inbound]
-        grid = np.around((data_in - bb[:1]) / res).astype(np.int32)
+        ref = (data_in - bb[:1]) / res
+        if grid_cast_f32:
+            ref = ref.astype(np.float32)
+        grid = np.around(ref).astype(np.int32)
         grid_in = (
             (grid >= 0) & (grid < np.expand_dims(obs_mask.shape, 0))
         ).sum(-1) == 3
@@ -110,17 +119,22 @@ def eval_dtu_mesh(
     from scipy.io import loadmat
     from ..viz.mesh import grid_sample_mesh, load_ply
 
+    # float64 throughout: the reference pipeline reads via open3d (float64
+    # vertices) and computes thr/floor in float64 (eval-dtu.py:48,63-65);
+    # float32 arithmetic can flip a floor() and change the sample count
     verts, faces = load_ply(mesh_path)
+    verts = verts.astype(np.float64)
     if len(faces):
         data_pcd = grid_sample_mesh(verts, faces, sample_density)
     else:
         data_pcd = verts
 
     mat = loadmat(f"{dataset_dir}/ObsMask/ObsMask{scan}_10.mat")
-    obs_mask, bb, res = mat["ObsMask"], mat["BB"], float(mat["Res"])
+    obs_mask, bb, res = mat["ObsMask"], mat["BB"], float(np.asarray(mat["Res"]).item())
     plane = loadmat(f"{dataset_dir}/ObsMask/Plane{scan}.mat")["P"].reshape(-1)
 
     stl_verts, _ = load_ply(f"{dataset_dir}/Points/stl/stl{scan:03}_total.ply")
+    stl_verts = stl_verts.astype(np.float64)
     return eval_dtu_points(
         data_pcd, stl_verts, obs_mask=obs_mask, bb=bb, res=res,
         ground_plane=plane, **kwargs,

@@ -31,10 +31,14 @@ from .eval_dtu import eval_dtu_points
 
 
 def resample_lines(lines: np.ndarray, n_points: int = 32) -> np.ndarray:
-    """(L, 2, 3) segments -> (L * n_points, 3) evenly spaced samples
-    (reference eval-lsr-dtu.py:71-81)."""
+    """(L, 2, 3) segments -> (L * n_points, 3) evenly spaced samples in the
+    reference's exact ORDER: p(t) = start*t + end*(1-t) with t ascending
+    (eval-lsr-dtu.py:72-77), i.e. each line is walked from its second
+    endpoint to its first. Order matters because the DTU protocol then
+    shuffles + greedily radius-downsamples (order-sensitive), so executed
+    parity needs the identical sequence, not just the identical set."""
     t = np.linspace(0.0, 1.0, n_points)[None, :, None]
-    pts = lines[:, :1] * (1 - t) + lines[:, 1:] * t
+    pts = lines[:, :1] * t + lines[:, 1:] * (1 - t)
     return pts.reshape(-1, 3)
 
 
@@ -72,6 +76,7 @@ def eval_wfr_junctions(
         endpoints, stl, obs_mask=obs_mask, bb=bb, res=res,
         ground_plane=ground_plane, max_dist=max_dist,
         downsample_radius=downsample_radius,
+        grid_cast_f32=True,  # eval-wfr-dtu.py:55 rounds the grid in f32
     )
 
 
@@ -95,17 +100,21 @@ def eval_lsr_lines(
         pts, stl, obs_mask=obs_mask, bb=bb, res=res,
         ground_plane=ground_plane, max_dist=max_dist,
         downsample_radius=downsample_radius,
+        grid_cast_f32=True,  # eval-lsr-dtu.py:106 rounds the grid in f32
     )
 
 
 def voxel_downsample(points: np.ndarray, voxel: float) -> np.ndarray:
-    """Centroid-per-voxel downsample (open3d voxel_down_sample semantics:
-    points bucketed into a regular voxel grid, one averaged point per
-    occupied voxel). Reference eval-lsr-scannet.py:46-47 applies it to
-    the GT mesh vertices at 0.02 m."""
+    """Centroid-per-voxel downsample with open3d's exact bucketing: voxel
+    indices are taken relative to ``min_bound - voxel/2`` (open3d C++
+    VoxelDownSample), one averaged point per occupied voxel. Reference
+    eval-lsr-scannet.py:46-48 applies it to the GT mesh vertices at
+    0.02 m; the executed parity test diffs this against the open3d-shimmed
+    reference script head-to-head."""
     if voxel <= 0 or len(points) == 0:
         return points
-    keys = np.floor(points / voxel).astype(np.int64)
+    voxel_min = points.min(axis=0) - voxel * 0.5
+    keys = np.floor((points - voxel_min) / voxel).astype(np.int64)
     _, inv, counts = np.unique(
         keys, axis=0, return_inverse=True, return_counts=True
     )
@@ -216,14 +225,15 @@ def main(argv=None):
     from ..viz.mesh import load_ply
 
     stl_path = args.stl or f"{args.dataset_dir}/Points/stl/stl{int(args.scan):03}_total.ply"
-    stl, _ = load_ply(stl_path)
+    # float64 like the reference's open3d read (see eval_dtu.eval_dtu_mesh)
+    stl = load_ply(stl_path)[0].astype(np.float64)
     kwargs = {}
     if args.cameras:
         kwargs["scale_mat"] = np.load(args.cameras)["scale_mat_0"]
     if protocol == "dtu":
         mat = loadmat(f"{args.dataset_dir}/ObsMask/ObsMask{args.scan}_10.mat")
         kwargs.update(
-            obs_mask=mat["ObsMask"], bb=mat["BB"], res=float(mat["Res"]),
+            obs_mask=mat["ObsMask"], bb=mat["BB"], res=float(np.asarray(mat["Res"]).item()),
             ground_plane=loadmat(f"{args.dataset_dir}/ObsMask/Plane{args.scan}.mat")[
                 "P"
             ].reshape(-1),

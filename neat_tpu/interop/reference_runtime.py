@@ -240,6 +240,36 @@ def load_reference_script(filename: str, alias: str):
     return module
 
 
+def run_reference_script_as_main(filename: str, argv) -> dict:
+    """Execute a reference script whose whole body sits under
+    ``if __name__ == '__main__':`` (the eval scripts: eval-dtu.py,
+    eval-wfr-dtu.py, eval-lsr-*.py) with the given argv, after installing
+    the import stubs it needs — including the numpy open3d shim
+    (interop/o3d_shim.py). Returns the finished module globals dict so
+    callers can read result variables directly (e.g. mean_d2s) instead of
+    scraping stdout.
+
+    Uses runpy with run_name='__main__', which temporarily installs the
+    script as sys.modules['__main__'] — that also makes eval-dtu.py's
+    mp.Pool workers resolve __main__.sample_single_tri under the fork
+    start method."""
+    import os.path as osp
+    import runpy
+
+    install_dataset_stubs()
+    from .o3d_shim import install_open3d_stub
+
+    install_open3d_stub()
+    old_argv = sys.argv
+    sys.argv = [filename] + list(argv)
+    try:
+        return runpy.run_path(
+            osp.join(REFERENCE_CODE, filename), run_name="__main__"
+        )
+    finally:
+        sys.argv = old_argv
+
+
 def load_model_conf(conf_path: str) -> ConfigTree:
     """Parse a reference HOCON conf with the repo's native parser and return
     the model{} block wrapped for the reference constructor."""

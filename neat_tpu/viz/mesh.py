@@ -207,7 +207,12 @@ def grid_sample_mesh(
     random sampling whose spacing drifts with total surface area.
 
     Vectorized by grouping triangles with identical (n1, n2) — they share
-    the same barycentric pattern."""
+    the same barycentric pattern — then scattered back so the output point
+    ORDER is exactly the reference's face-major concatenation. Order
+    matters downstream: the eval protocol shuffles then greedily radius-
+    downsamples (eval-dtu.py:80-94), which is order-sensitive, so executed
+    parity (tests/test_eval_parity.py) needs the identical sequence, not
+    just the identical set."""
     if len(faces) == 0:
         return verts
     tri = verts[faces]  # (F, 3, 3)
@@ -224,28 +229,39 @@ def grid_sample_mesh(
     n1 = np.floor(l1 / thr).astype(np.int64)
     n2 = np.floor(l2 / thr).astype(np.int64)
 
-    chunks = [verts]
-    pair_keys = n1 * (n2.max() + 1) + n2
-    for key in np.unique(pair_keys):
-        sel = pair_keys == key
-        a, b = int(n1[sel][0]), int(n2[sel][0])
-        # barycentric pattern for (a, b): cell centers with u + v < 1
-        # (reference sample_single_tri, eval-dtu.py:26-35)
+    def pattern(a: int, b: int) -> np.ndarray:
+        # barycentric cell centers with u + v < 1 for an (a, b) grid
+        # (reference sample_single_tri, eval-dtu.py:9-18)
         c = np.mgrid[: a + 1, : b + 1].astype(np.float64) + 0.5
         c[0] /= max(a, 1e-7)
         c[1] /= max(b, 1e-7)
         k = np.transpose(c, (1, 2, 0)).reshape(-1, 2)
-        k = k[k.sum(axis=-1) < 1]
+        return k[k.sum(axis=-1) < 1]
+
+    pair_keys = n1 * (n2.max() + 1) + n2
+    uniq = np.unique(pair_keys)
+    patterns = {}
+    counts = np.zeros(len(n1), dtype=np.int64)
+    for key in uniq:
+        sel = pair_keys == key
+        k = pattern(int(n1[sel][0]), int(n2[sel][0]))
+        patterns[int(key)] = k
+        counts[sel] = len(k)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    out = np.empty((int(offsets[-1]), 3), dtype=verts.dtype)
+    for key in uniq:
+        k = patterns[int(key)]
         if len(k) == 0:
             continue
-        chunks.append(
-            (
-                v1[sel][:, None, :] * k[None, :, :1]
-                + v2[sel][:, None, :] * k[None, :, 1:]
-                + t0[sel][:, None, :]
-            ).reshape(-1, 3)
+        sel = np.flatnonzero(pair_keys == key)
+        pts = (
+            v1[sel][:, None, :] * k[None, :, :1]
+            + v2[sel][:, None, :] * k[None, :, 1:]
+            + t0[sel][:, None, :]
         )
-    return np.concatenate(chunks, axis=0)
+        idx = offsets[sel][:, None] + np.arange(len(k))[None, :]
+        out[idx.reshape(-1)] = pts.reshape(-1, 3)
+    return np.concatenate([verts, out], axis=0)
 
 
 def largest_component(
