@@ -19,36 +19,192 @@ from typing import Tuple
 import numpy as np
 
 
-def cuboid_wireframe(size=(0.8, 0.5, 0.6)):
-    """Vertices (8, 3), edges (12, 2), triangle faces (12, 3)."""
-    sx, sy, sz = np.asarray(size) / 2.0
-    verts = np.asarray(
-        [
-            [-sx, -sy, -sz], [sx, -sy, -sz], [sx, sy, -sz], [-sx, sy, -sz],
-            [-sx, -sy, sz], [sx, -sy, sz], [sx, sy, sz], [-sx, sy, sz],
-        ]
-    )
-    edges = np.asarray(
-        [
-            [0, 1], [1, 2], [2, 3], [3, 0],
-            [4, 5], [5, 6], [6, 7], [7, 4],
-            [0, 4], [1, 5], [2, 6], [3, 7],
-        ]
-    )
-    quads = [
-        ([0, 1, 2, 3], (0.85, 0.3, 0.3)),
-        ([4, 5, 6, 7], (0.3, 0.85, 0.3)),
-        ([0, 1, 5, 4], (0.3, 0.3, 0.85)),
-        ([2, 3, 7, 6], (0.85, 0.85, 0.3)),
-        ([1, 2, 6, 5], (0.85, 0.3, 0.85)),
-        ([0, 3, 7, 4], (0.3, 0.85, 0.85)),
-    ]
+_PALETTE = [
+    (0.85, 0.3, 0.3), (0.3, 0.85, 0.3), (0.3, 0.3, 0.85),
+    (0.85, 0.85, 0.3), (0.85, 0.3, 0.85), (0.3, 0.85, 0.85),
+    (0.9, 0.55, 0.25), (0.55, 0.35, 0.8), (0.45, 0.7, 0.35),
+    (0.7, 0.45, 0.45), (0.4, 0.55, 0.75), (0.75, 0.7, 0.5),
+]
+
+
+def _tris_from_quads(quads):
+    """[(quad indices, color), ...] -> (faces (2Q, 3), colors (2Q, 3))."""
     faces, colors = [], []
     for q, c in quads:
         faces.append([q[0], q[1], q[2]])
         faces.append([q[0], q[2], q[3]])
         colors += [c, c]
-    return verts, edges, np.asarray(faces), np.asarray(colors)
+    return np.asarray(faces), np.asarray(colors)
+
+
+def _box(center, size):
+    """Vertices (8, 3) and the 6 face quads (as index lists) of a cuboid."""
+    cx, cy, cz = center
+    sx, sy, sz = np.asarray(size) / 2.0
+    verts = np.asarray(
+        [
+            [cx - sx, cy - sy, cz - sz], [cx + sx, cy - sy, cz - sz],
+            [cx + sx, cy + sy, cz - sz], [cx - sx, cy + sy, cz - sz],
+            [cx - sx, cy - sy, cz + sz], [cx + sx, cy - sy, cz + sz],
+            [cx + sx, cy + sy, cz + sz], [cx - sx, cy + sy, cz + sz],
+        ]
+    )
+    quads = [
+        [0, 1, 2, 3], [4, 5, 6, 7], [0, 1, 5, 4],
+        [2, 3, 7, 6], [1, 2, 6, 5], [0, 3, 7, 4],
+    ]
+    edges = [
+        [0, 1], [1, 2], [2, 3], [3, 0],
+        [4, 5], [5, 6], [6, 7], [7, 4],
+        [0, 4], [1, 5], [2, 6], [3, 7],
+    ]
+    return verts, quads, edges
+
+
+def cuboid_wireframe(size=(0.8, 0.5, 0.6)):
+    """Vertices (8, 3), edges (12, 2), triangle faces (12, 3)."""
+    verts, quads, edges = _box((0.0, 0.0, 0.0), size)
+    faces, colors = _tris_from_quads(
+        [(q, _PALETTE[i]) for i, q in enumerate(quads)]
+    )
+    return verts, np.asarray(edges), faces, colors
+
+
+def bipyramid_wireframe(n_ring: int = 6, r: float = 0.55, h: float = 0.5):
+    """HIGH-VALENCE family: a hexagonal bipyramid. The two apexes have
+    junction valence ``n_ring`` (6), ring vertices valence 4 — stresses
+    the junction vote gate and DBSCAN/merge eps far beyond the cuboid's
+    uniform valence 3."""
+    ring = np.asarray(
+        [
+            [r * np.cos(2 * np.pi * i / n_ring),
+             r * np.sin(2 * np.pi * i / n_ring), 0.0]
+            for i in range(n_ring)
+        ]
+    )
+    verts = np.concatenate([ring, [[0.0, 0.0, h], [0.0, 0.0, -h]]])
+    top, bot = n_ring, n_ring + 1
+    edges, faces, colors = [], [], []
+    for i in range(n_ring):
+        j = (i + 1) % n_ring
+        edges += [[i, j], [i, top], [i, bot]]
+        faces += [[i, j, top], [j, i, bot]]
+        colors += [_PALETTE[i % len(_PALETTE)],
+                   _PALETTE[(i + 3) % len(_PALETTE)]]
+    return verts, np.asarray(edges), np.asarray(faces), np.asarray(colors)
+
+
+def slab_wireframe(size=(0.9, 0.6, 0.1)):
+    """NEAR-PARALLEL family: a thin slab — its top and bottom rectangles
+    form four close parallel line pairs separated by only ``size[2]``
+    (0.1 normalized units), stressing junction/line separation and the
+    merge eps (0.02 sits 5x under the pair gap)."""
+    return cuboid_wireframe(size)
+
+
+def stacked_wireframe():
+    """T-JUNCTION / OCCLUSION family: a small cuboid centered on top of a
+    larger one. The small cube's bottom rectangle lies INSIDE the big
+    cube's top face (interior-of-face lines), its base corners are
+    junctions that no big-cube edge touches, and the big cube occludes
+    the notch region from below — the occlusion-heavy layout the
+    single-cuboid scene never exercises."""
+    v1, q1, e1 = _box((0.0, 0.0, -0.175), (0.9, 0.7, 0.35))
+    v2, q2, e2 = _box((0.05, -0.05, 0.175), (0.4, 0.35, 0.35))
+    verts = np.concatenate([v1, v2])
+    edges = np.asarray(e1 + [[a + 8, b + 8] for a, b in e2])
+    quads = [(q, _PALETTE[i]) for i, q in enumerate(q1)]
+    # skip the small cube's bottom quad (q2[0]): it is interior, coplanar
+    # with the big top face, and would z-fight; its EDGES stay — they are
+    # the contact-rectangle lines the family exists to test
+    quads += [([a + 8 for a in q], _PALETTE[(i + 6) % len(_PALETTE)])
+              for i, q in enumerate(q2) if i != 0]
+    faces, colors = _tris_from_quads(quads)
+    return verts, edges, faces, colors
+
+
+def grid_wireframe(size=(0.8, 0.8, 0.8)):
+    """DENSE-SMALL-CELLS family: a cuboid whose every face is subdivided
+    2x2 with checkerboard colors. The subdivision lines are real color
+    edges in the images and real lines in the CAD ground truth; edge
+    midpoints become collinear X/T-junctions (valence 4) and face centers
+    valence-4 crossings, 0.4 units apart — the dense-cell regime."""
+    sx, sy, sz = np.asarray(size) / 2.0
+
+    vid = {}
+    verts = []
+
+    def v(x, y, z):
+        key = (round(x, 6), round(y, 6), round(z, 6))
+        if key not in vid:
+            vid[key] = len(verts)
+            verts.append([x, y, z])
+        return vid[key]
+
+    edges = set()
+    quads = []
+    # each face: constant-axis plane, 2x2 subdivision in the other two
+    face_specs = [
+        (0, -sx), (0, sx), (1, -sy), (1, sy), (2, -sz), (2, sz),
+    ]
+    half = {0: (sy, sz), 1: (sx, sz), 2: (sx, sy)}
+    for fi, (axis, val) in enumerate(face_specs):
+        h1, h2 = half[axis]
+        u_lines = [-h1, 0.0, h1]
+        v_lines = [-h2, 0.0, h2]
+        for i in range(2):
+            for j in range(2):
+                corners2d = [
+                    (u_lines[i], v_lines[j]), (u_lines[i + 1], v_lines[j]),
+                    (u_lines[i + 1], v_lines[j + 1]), (u_lines[i], v_lines[j + 1]),
+                ]
+                ids = []
+                for (a, b) in corners2d:
+                    coord = [0.0, 0.0, 0.0]
+                    coord[axis] = val
+                    coord[(axis + 1) % 3] = a
+                    coord[(axis + 2) % 3] = b
+                    ids.append(v(*coord))
+                for t in range(4):
+                    e = (min(ids[t], ids[(t + 1) % 4]), max(ids[t], ids[(t + 1) % 4]))
+                    edges.add(e)
+                color = _PALETTE[(fi * 2 + ((i + j) % 2)) % len(_PALETTE)]
+                quads.append((ids, color))
+    faces, colors = _tris_from_quads(quads)
+    return (
+        np.asarray(verts),
+        np.asarray(sorted(edges)),
+        faces,
+        colors,
+    )
+
+
+def tetra_wireframe(scale: float = 0.75):
+    """SPARSE-LARGE-FRAME family: a tetrahedron — 4 junctions, 6 long
+    lines, the minimal-support end of the spectrum (every junction must
+    be recovered from only 3 incident lines)."""
+    verts = scale * np.asarray(
+        [
+            [1.0, 1.0, 1.0], [1.0, -1.0, -1.0],
+            [-1.0, 1.0, -1.0], [-1.0, -1.0, 1.0],
+        ]
+    ) / np.sqrt(3)
+    edges = np.asarray(
+        [[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]]
+    )
+    faces = np.asarray([[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]])
+    colors = np.asarray(_PALETTE[:4])
+    return verts, edges, faces, colors
+
+
+GEOMETRIES = {
+    "cuboid": cuboid_wireframe,
+    "bipyramid": bipyramid_wireframe,
+    "slab": slab_wireframe,
+    "stacked": stacked_wireframe,
+    "grid": grid_wireframe,
+    "tetra": tetra_wireframe,
+}
 
 
 def look_at_pose(cam_pos: np.ndarray, target=np.zeros(3), up=(0.0, 0.0, 1.0)):
@@ -145,6 +301,7 @@ def generate_scene(
     radius: float = 2.0,
     seed: int = 0,
     convention: str = "blender",
+    geometry: str = "cuboid",
 ) -> None:
     """Write a full synthetic scene in either data convention.
 
@@ -154,6 +311,10 @@ def generate_scene(
     identity scale_mat, hawp/, lines.json (DTU/BMVS layout).
     convention='scannet': images/, pose/*.txt (cam2world), a shared
     intrinsic.txt, hawp/, lines.json (ScanNet layout).
+
+    geometry: one of GEOMETRIES — structurally distinct wireframe
+    families (valence, parallelism, occlusion, cell density, sparsity)
+    for the generalization sweep (tools/geometry_sweep.py).
     """
     import imageio.v2 as imageio
 
@@ -163,7 +324,7 @@ def generate_scene(
     if convention == "scannet":
         os.makedirs(osp.join(out_dir, "pose"), exist_ok=True)
 
-    verts, edges, faces, colors = cuboid_wireframe()
+    verts, edges, faces, colors = GEOMETRIES[geometry]()
     h, w = res
     focal = 1.2 * max(res)
     k = np.asarray(
@@ -237,6 +398,11 @@ if __name__ == "__main__":
     parser.add_argument("--out", required=True)
     parser.add_argument("--views", type=int, default=12)
     parser.add_argument("--res", type=int, default=96)
+    parser.add_argument("--geometry", default="cuboid",
+                        choices=sorted(GEOMETRIES))
     args = parser.parse_args()
-    generate_scene(args.out, n_views=args.views, res=(args.res, args.res))
-    print(f"wrote synthetic scene to {args.out}")
+    generate_scene(
+        args.out, n_views=args.views, res=(args.res, args.res),
+        geometry=args.geometry,
+    )
+    print(f"wrote synthetic {args.geometry} scene to {args.out}")

@@ -135,6 +135,56 @@ class TestBlenderScene:
         assert (labels < scene.n_lines[i]).all()
 
 
+class TestGeometryFamilies:
+    """The geometry-generalization scene families (tools/geometry_sweep.py).
+
+    Each family must honor the full scene contract (cameras + images +
+    hawp json + lines.json GT) AND exhibit the structural property it was
+    designed to stress — otherwise the sweep silently measures six copies
+    of the cuboid."""
+
+    def test_contract_and_structure(self, tmp_path):
+        from neat_tpu.data.synthetic import GEOMETRIES, generate_scene
+
+        stats = {}
+        for name, fn in GEOMETRIES.items():
+            verts, edges, faces, colors = fn()
+            assert edges.max() < len(verts), name
+            assert colors.shape == (faces.shape[0], 3), name
+            # no duplicate vertices (junction GT must be unambiguous)
+            d = np.linalg.norm(verts[:, None] - verts[None], axis=-1)
+            assert (d + np.eye(len(verts)) * 10).min() > 1e-6, name
+            # no duplicate edges
+            key = {tuple(sorted(e)) for e in edges.tolist()}
+            assert len(key) == len(edges), name
+            stats[name] = (verts, edges)
+
+        # structural properties each family claims
+        def valence(verts, edges):
+            return np.bincount(np.asarray(edges).ravel(),
+                               minlength=len(verts))
+
+        assert valence(*stats["bipyramid"]).max() >= 6  # high valence
+        v, e = stats["slab"]
+        assert np.ptp(v[:, 2]) <= 0.11  # near-parallel pair gap
+        assert len(stats["grid"][1]) >= 40  # dense cells
+        assert len(stats["tetra"][1]) == 6  # sparse frame
+        assert len(stats["stacked"][0]) == 16  # two boxes
+
+        # scene contract end-to-end for one non-cuboid family
+        from neat_tpu.data.datasets import load_blender_scene
+
+        generate_scene(str(tmp_path / "bp"), n_views=3, res=(48, 48),
+                       geometry="bipyramid")
+        with open(tmp_path / "bp" / "lines.json") as f:
+            gt = json.load(f)
+        assert len(gt["junctions"]) == 8 and len(gt["lines"]) == 18
+        scene = load_blender_scene("bp", (48, 48),
+                                   data_root=str(tmp_path), max_verts=32)
+        assert scene.n_images == 3
+        assert scene.n_lines.max() > 0  # synthetic HAWP saw the edges
+
+
 class TestSceneLineDepthCues:
     """3D-line-conditioned depth supervision (reference
     scene_line_dataset.py / scene_line_depth_dataset.py -> scene_line

@@ -133,13 +133,17 @@ def main():
         init_train_state(init_neat(jax.random.PRNGKey(0), cfg), 5e-4, 0.1, 100),
         rep,
     )
+    # pre-split every key OUTSIDE the timed loop: eager PRNGKey creation
+    # dispatches small host-synced ops per call, which under the tunneled
+    # TPU costs whole relay round-trips per step (bench.py does the same)
+    keys = jax.random.split(jax.random.PRNGKey(1), args.steps + 1)
     with mesh:
-        state, aux = step(state, scene_dev, jax.random.PRNGKey(1))
-        jax.block_until_ready(state.params)
+        state, aux = step(state, scene_dev, keys[0])
+        float(np.asarray(aux["loss"]))  # host fetch: the tunnel's true sync
         t0 = time.time()
-        for _ in range(args.steps):
-            state, aux = step(state, scene_dev, jax.random.PRNGKey(1))
-        jax.block_until_ready(state.params)
+        for i in range(args.steps):
+            state, aux = step(state, scene_dev, keys[1 + i])
+        float(np.asarray(aux["loss"]))
     dt = (time.time() - t0) / args.steps
     loss = float(np.asarray(aux["loss"]))
     assert np.isfinite(loss), f"non-finite loss {loss}"
