@@ -418,9 +418,29 @@ class TrainRunner:
     def dump_junctions(self, epoch: int) -> None:
         if "junctions" not in self.state.params or not self.is_main:
             return
-        pts = global_junctions_forward(
-            self._host_params()["junctions"], self.cfg.model.junctions
-        )
+        if jax.process_count() == 1:
+            # single-process: run the tiny forward on device and fetch only
+            # the (N, 3) result — the dump runs EVERY epoch (reference
+            # volsdf_train.py:336-343) and fetching the whole params tree
+            # here costs one tunnel round-trip per leaf, which dominated
+            # short-epoch training wall-clock
+            if not hasattr(self, "_junctions_fwd"):
+                self._junctions_fwd = jax.jit(
+                    lambda j: global_junctions_forward(
+                        j, self.cfg.model.junctions
+                    )
+                )
+            pts = self._junctions_fwd(self.state.params["junctions"])
+        else:
+            # multi-process: params are global arrays spanning other
+            # processes' devices; a process-0-only jit on them would hang,
+            # so fetch the subtree and compute on host
+            pts = global_junctions_forward(
+                jax.tree_util.tree_map(
+                    np.asarray, self.state.params["junctions"]
+                ),
+                self.cfg.model.junctions,
+            )
         np.save(
             osp.join(self.junctions_dir, f"{epoch}.npy"), np.asarray(pts)
         )
@@ -538,10 +558,14 @@ class TrainRunner:
                 auxes.append(aux)
 
             if epoch % self.log_every_epochs == 0:
-                auxes = jax.device_get(auxes)
+                # one stacked transfer per metric key instead of one per
+                # (key, view): per-leaf fetches each pay a tunnel round-trip
+                stacked = {
+                    k: jnp.stack([a[k] for a in auxes]) for k in auxes[0]
+                }
+                stacked = jax.device_get(stacked)
                 means = {
-                    k: float(np.mean([np.asarray(a[k]) for a in auxes]))
-                    for k in auxes[0]
+                    k: float(np.mean(v)) for k, v in stacked.items()
                 }
                 msg = " ".join(f"{k} = {v:.4f}" for k, v in sorted(means.items()))
                 rays_s = self.n_views * self.n_rays / max(time.time() - t0, 1e-9)
