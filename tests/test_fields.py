@@ -26,6 +26,7 @@ from neat_tpu.fields import (
 class TestImplicitNet:
     cfg = ImplicitNetConfig()
 
+    @pytest.mark.slow  # dense 3d grid eval of the full mlp; ~6 s
     def test_geometric_init_is_spherical(self):
         """With the geometric init, the initial SDF approximates |x| - bias."""
         params = init_implicit_net(jax.random.PRNGKey(0), self.cfg)

@@ -17,6 +17,7 @@ class TestFusedSdf:
         assert not supports_fused_sdf(ImplicitNetConfig(dims=(64,) * 4))
         assert not supports_fused_sdf(ImplicitNetConfig(skip_in=()))
 
+    @pytest.mark.slow  # pallas interpret-mode execute; ~5 s
     def test_matches_reference_bf16(self, rng):
         params = init_implicit_net(jax.random.PRNGKey(0), self.cfg)
         pts = jnp.asarray(rng.randn(300, 3).astype(np.float32))
@@ -519,6 +520,7 @@ class TestFusedSamplerRound:
         beta = rng.uniform(0.05, 0.5, size=(r,)).astype(np.float32)
         return jnp.asarray(z), jnp.asarray(sdf), jnp.asarray(beta)
 
+    @pytest.mark.slow  # pallas interpret-mode execute; ~7 s across params
     @pytest.mark.parametrize("refine", [True, False])
     def test_matches_xla_round(self, refine):
         from neat_tpu.ops.fused_round import fused_sampler_round

@@ -354,6 +354,7 @@ class TestShardMapPodStep:
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
             )
 
+    @pytest.mark.slow  # compiles the full 8-dev pod step; ~10 s warm
     def test_grads_and_params_replicated(self):
         """After a pod step every param leaf is a replicated global array
         over the full mesh (the psum'd grads left no shard-varying state)."""
@@ -442,6 +443,7 @@ class TestShardMapPodStep:
             resolve_parallel_mode("shard_map", _tiny_cfg(dual_batch=True), 16, 8)
 
 
+@pytest.mark.slow  # two full forward compiles per sampler kind
 @pytest.mark.parametrize("sampler_kind", ["error_bound", "uniform"])
 def test_draw_forward_noise_bit_identical(sampler_kind):
     """neat_forward(rng=k) and neat_forward(rng=k, noise=draw_forward_noise

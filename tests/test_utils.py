@@ -4,6 +4,7 @@ import os
 import os.path as osp
 
 import numpy as np
+import pytest
 
 from neat_tpu.utils.chunking import split_input, merge_output
 from neat_tpu.utils.meters import AverageMeter
@@ -375,6 +376,7 @@ class TestProfilingUtils:
 
         assert glob.glob(str(tmp_path / "**" / "*.xplane.pb"), recursive=True)
 
+    @pytest.mark.slow  # runs the xla profiler over a jitted step; ~8 s
     def test_parse_profile_reads_trace(self, tmp_path, capsys):
         import sys
 
