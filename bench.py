@@ -30,8 +30,13 @@ import time
 import numpy as np
 
 BASELINE_RAYS_PER_SEC = 2500.0
-WARMUP_STEPS = 3
-BENCH_STEPS = 20
+# the timed window must amortize the ONE host sync it contains: the
+# closing float() fetch pays a tunnel round-trip (~28 ms on axon), which
+# at 20 steps x ~26 ms inflated the reported step time ~5% (BENCH_r03's
+# 36.8k vs the 38.5-39.1k steady state from 50-step phase_timing runs).
+# 100 steps puts the sync at ~1% of the window.
+WARMUP_STEPS = 5
+BENCH_STEPS = 100
 
 
 def _tpu_relay_alive(port: int = 8082, attempts: int = 6, wait_s: float = 10.0):

@@ -276,7 +276,21 @@ def main(argv=None):
             f"recipe vote {recipe_vote} "
             f"{'INSIDE' if in_window else 'OUTSIDE'} the window",
             "",
-        ]
+            "| vote | nJ | jP | jR | nL | lP | lR | margin |",
+            "|---|---|---|---|---|---|---|---|",
+        ] + [
+            f"| {r['vote']} | {r['nj']} | {r['jp']:.3f} | {r['jr']:.3f} "
+            f"| {r['nl']} | {r['lp']:.3f} | {r['lr']:.3f} "
+            f"| {r['jmargin']:.3f} |"
+            for r in rows
+        ] + [""]
+        # write after EVERY family so an interrupted sweep still leaves
+        # its completed families on disk
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write("\n".join(lines) + "\n\n```json\n")
+                json.dump(report, f, indent=1)
+                f.write("\n```\n")
 
     ok = [g for g, r in report.items() if r["recipe_in_window"]]
     lines += [
