@@ -67,8 +67,33 @@ def capture_cost_matrices(rundir, data_root, n_steps, checkpoint="latest"):
         )
         out = fwd(state.params, inputs, rng=r_fwd)
         # rebuild the proposal cost exactly as neat_forward does
-        # (model/neat.py junction-proposal block)
+        # (model/neat.py junction-proposal block), INCLUDING the
+        # config-dependent proposal construction: the DTU regime
+        # (dbscan_enabled, reference neat_wfr_rend_c.py:427-433 family)
+        # assigns verts to DBSCAN cluster means under a column validity
+        # mask, not to raw endpoints
         endpoints = np.asarray(out["lines3d"]).reshape(-1, 3)
+        cm = cfg.model
+        if cm.dbscan_enabled:
+            from neat_tpu.assignment.clustering import dbscan_cluster_means
+            from neat_tpu.fields.mlp import global_junctions_forward
+
+            cluster_input = endpoints
+            if cm.dbscan_include_global:
+                gj = np.asarray(
+                    global_junctions_forward(
+                        state.params["junctions"], cm.junctions
+                    )
+                )
+                cluster_input = np.concatenate([endpoints, gj], axis=0)
+            proposals, prop_mask = dbscan_cluster_means(
+                jnp.asarray(cluster_input), eps=0.01, min_samples=2
+            )
+            proposals = np.asarray(proposals)
+            prop_mask = np.asarray(prop_mask)
+        else:
+            proposals = endpoints
+            prop_mask = np.ones((endpoints.shape[0],), dtype=bool)
         pose = np.asarray(inputs["pose"])
         w2c = np.linalg.inv(pose)
         k3 = np.asarray(inputs["intrinsics"])[:3, :3]
@@ -77,14 +102,17 @@ def capture_cost_matrices(rundir, data_root, n_steps, checkpoint="latest"):
                 jnp.asarray(k3),
                 jnp.asarray(w2c[:3, :3]),
                 jnp.asarray(w2c[:3, 3]),
-                jnp.asarray(endpoints),
+                jnp.asarray(proposals),
             )
         )
         verts2d = np.asarray(inputs["verts2d"])
         verts_mask = np.asarray(inputs["verts_mask"])
         jcost = np.sqrt(((j2d[None] - verts2d[:, None]) ** 2).sum(-1) + 1e-12)
-        mats.append((jcost.astype(np.float32), verts_mask))
-        print(f"  captured step {i}: cost {jcost.shape}, live rows {verts_mask.sum()}")
+        mats.append((jcost.astype(np.float32), verts_mask, prop_mask))
+        print(
+            f"  captured step {i}: cost {jcost.shape}, live rows "
+            f"{verts_mask.sum()}, live cols {prop_mask.sum()}"
+        )
     return mats
 
 
@@ -94,19 +122,25 @@ def evaluate(mats, n_iters_list=(32, 64, 128, 256), eps=None):
 
     from neat_tpu.assignment.matching import auction_assignment
 
-    # scipy optimum per matrix, computed once (identical across n_iters)
+    # scipy optimum per matrix, computed once (identical across n_iters);
+    # dead columns (padded DBSCAN proposal slots) are excluded the same
+    # way masked_assignment excludes them on device
     optima = []
-    for jcost, row_mask in mats:
+    for jcost, row_mask, col_mask in mats:
         live = np.nonzero(row_mask)[0]
-        ri, ci = linear_sum_assignment(jcost[live])
-        optima.append((live, ri, ci, jcost[live][ri, ci].sum()))
+        livec = np.nonzero(col_mask)[0]
+        ri, ci = linear_sum_assignment(jcost[live][:, livec])
+        optima.append(
+            (live, livec, ri, ci, jcost[live][:, livec][ri, ci].sum())
+        )
 
     rows = []
     for n_iters in n_iters_list:
         subopts, iters_used, keep_agree, med_gaps = [], [], [], []
         unassigned_fracs = []
-        for (jcost, row_mask), (live, ri, ci, opt_cost) in zip(mats, optima):
-            col_mask = np.ones(jcost.shape[1], dtype=bool)
+        for (jcost, row_mask, col_mask), (live, livec, ri, ci, opt_cost) in zip(
+            mats, optima
+        ):
             col, valid, it = auction_assignment(
                 jnp.asarray(jcost),
                 jnp.asarray(row_mask),
@@ -141,7 +175,7 @@ def evaluate(mats, n_iters_list=(32, 64, 128, 256), eps=None):
             k_a, med_a = keep_mask(ac_auction, valid)
             ac_opt = np.zeros(jcost.shape[0], dtype=np.float32)
             v_opt = np.zeros(jcost.shape[0], dtype=bool)
-            ac_opt[live[ri]] = jcost[live][ri, ci]
+            ac_opt[live[ri]] = jcost[live][:, livec][ri, ci]
             v_opt[live[ri]] = True
             k_o, med_o = keep_mask(ac_opt, v_opt)
             keep_agree.append((k_a == k_o)[row_mask].mean())
@@ -179,7 +213,16 @@ def main(argv=None):
 
     if args.mats:
         with np.load(args.mats) as z:
-            mats = [(z[f"cost{i}"], z[f"mask{i}"]) for i in range(z["n"])]
+            mats = [
+                (
+                    z[f"cost{i}"],
+                    z[f"mask{i}"],
+                    z[f"colmask{i}"]
+                    if f"colmask{i}" in z
+                    else np.ones(z[f"cost{i}"].shape[1], dtype=bool),
+                )
+                for i in range(z["n"])
+            ]
     else:
         mats = capture_cost_matrices(
             args.rundir, args.data_root, args.steps, args.checkpoint
@@ -190,6 +233,7 @@ def main(argv=None):
             n=len(mats),
             **{f"cost{i}": m[0] for i, m in enumerate(mats)},
             **{f"mask{i}": m[1] for i, m in enumerate(mats)},
+            **{f"colmask{i}": m[2] for i, m in enumerate(mats)},
         )
 
     def fmt(rows, title):
@@ -207,10 +251,12 @@ def main(argv=None):
         return "\n".join(lines)
 
     live = [int(m[1].sum()) for m in mats]
+    livec = [int(m[2].sum()) for m in mats]
     table = fmt(
         evaluate(mats),
         f"Real per-step scale (live rows {min(live)}-{max(live)} of "
-        f"{mats[0][0].shape[0]}, {mats[0][0].shape[1]} proposals):",
+        f"{mats[0][0].shape[0]}, live cols {min(livec)}-{max(livec)} of "
+        f"{mats[0][0].shape[1]} proposals):",
     )
 
     # contention stress at cluttered-scene vertex counts: replicate the
@@ -221,7 +267,7 @@ def main(argv=None):
     rng = np.random.RandomState(0)
     for k_req in (128, 512):
         stress = []
-        for jcost, row_mask in mats:
+        for jcost, row_mask, col_mask in mats:
             k = min(k_req, jcost.shape[0])
             live_idx = np.nonzero(row_mask)[0]
             if len(live_idx) == 0:
@@ -234,7 +280,7 @@ def main(argv=None):
             cost_s[:k] = cost_k
             mask_s = np.zeros(jcost.shape[0], dtype=bool)
             mask_s[:k] = True
-            stress.append((cost_s, mask_s))
+            stress.append((cost_s, mask_s, col_mask))
         table += "\n\n" + fmt(
             evaluate(stress),
             f"Contention stress ({k_req} jittered-duplicate live rows):",
