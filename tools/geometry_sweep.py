@@ -121,11 +121,13 @@ plot {{
 DEFAULT_GEOMETRIES = ["cuboid", "bipyramid", "slab", "stacked", "grid", "tetra"]
 
 
-def perfect_window(rows):
+def perfect_window(rows, suffix=""):
+    """Votes where junction AND line P = R = 1.000 at the threshold tier
+    named by suffix ("" = 1% of scale, "2" = the 2% fallback tier)."""
     perfect = [
         r["vote"] for r in rows
-        if r["jp"] == 1.0 and r["jr"] == 1.0
-        and r["lp"] == 1.0 and r["lr"] == 1.0
+        if r["jp" + suffix] == 1.0 and r["jr" + suffix] == 1.0
+        and r["lp" + suffix] == 1.0 and r["lr" + suffix] == 1.0
     ]
     return [min(perfect), max(perfect)] if perfect else None
 
@@ -249,6 +251,13 @@ def main(argv=None):
                     jr=float(scores["junction_recall"][0]),
                     lp=float(scores["line_precision"][0]),
                     lr=float(scores["line_recall"][0]),
+                    # the 2%-of-scale tier (eval_abc's middle threshold):
+                    # the calibrated fallback when camera resolution puts
+                    # the ~2 px localization floor near the 1% bar
+                    jp2=float(scores["junction_precision"][1]),
+                    jr2=float(scores["junction_recall"][1]),
+                    lp2=float(scores["line_precision"][1]),
+                    lr2=float(scores["line_recall"][1]),
                     jmargin=worst_margin(res),
                 )
             )
@@ -260,27 +269,35 @@ def main(argv=None):
                 flush=True,
             )
         win = perfect_window(rows)
+        win2 = perfect_window(rows, "2") if "jp2" in rows[0] else None
         recipe_vote = int(round(args.vote_ratio * args.views))
         in_window = win is not None and win[0] <= recipe_vote <= win[1]
+        in_window2 = win2 is not None and win2[0] <= recipe_vote <= win2[1]
         report[geom] = {
             "window": win,
+            "window_2pct": win2,
             "margin": rows[0]["jmargin"],
             "recipe_vote": recipe_vote,
             "recipe_in_window": in_window,
+            "recipe_in_window_2pct": in_window2,
             "rows": rows,
         }
         lines += [
             f"## {geom}",
             "",
-            f"perfect window: {win}; margin {rows[0]['jmargin']:.3f}; "
+            f"perfect window @1%: {win} (@2%: {win2}); "
+            f"margin {rows[0]['jmargin']:.3f}; "
             f"recipe vote {recipe_vote} "
-            f"{'INSIDE' if in_window else 'OUTSIDE'} the window",
+            f"{'INSIDE' if in_window else 'OUTSIDE'} @1%, "
+            f"{'INSIDE' if in_window2 else 'OUTSIDE'} @2%",
             "",
-            "| vote | nJ | jP | jR | nL | lP | lR | margin |",
-            "|---|---|---|---|---|---|---|---|",
+            "| vote | nJ | jP | jR | nL | lP | lR | jP@2% | lP@2% | margin |",
+            "|---|---|---|---|---|---|---|---|---|---|",
         ] + [
             f"| {r['vote']} | {r['nj']} | {r['jp']:.3f} | {r['jr']:.3f} "
             f"| {r['nl']} | {r['lp']:.3f} | {r['lr']:.3f} "
+            f"| {r.get('jp2', float('nan')):.3f} "
+            f"| {r.get('lp2', float('nan')):.3f} "
             f"| {r['jmargin']:.3f} |"
             for r in rows
         ] + [""]
@@ -293,10 +310,12 @@ def main(argv=None):
                 f.write("\n```\n")
 
     ok = [g for g, r in report.items() if r["recipe_in_window"]]
+    ok2 = [g for g, r in report.items() if r["recipe_in_window_2pct"]]
     lines += [
         "## Summary",
         "",
-        f"recipe holds on {len(ok)}/{len(report)} families: {ok}",
+        f"recipe holds on {len(ok)}/{len(report)} families @1%: {ok}; "
+        f"on {len(ok2)}/{len(report)} @2%: {ok2}",
     ]
     out_text = "\n".join(lines)
     print(out_text)
