@@ -100,8 +100,13 @@ def bench_scene(cfg, device: bool = True):
     return {k_: jax.device_put(jnp.asarray(v)) for k_, v in scene.items()}
 
 
-def bench_step(cfg, donate: bool = True):
-    """(step_fn, initial state) for the benchmarked configuration."""
+def bench_step(cfg, donate: bool = True, n_rays: int = BENCH_N_RAYS):
+    """(step_fn, initial state) for the benchmarked configuration.
+
+    n_rays: ray-batch size per step; default is the reference batch
+    (1024). tools/batch_frontier.py sweeps this to measure the
+    amortization frontier.
+    """
     import jax
 
     from ..model.loss import LossConfig
@@ -111,7 +116,7 @@ def bench_step(cfg, donate: bool = True):
     params = init_neat(jax.random.PRNGKey(0), cfg)
     state = init_train_state(params, 5e-4, 0.1, 200000)
     step = make_train_step(
-        cfg, LossConfig(), 5e-4, 0.1, 200000, BENCH_N_RAYS,
+        cfg, LossConfig(), 5e-4, 0.1, 200000, n_rays,
         BENCH_IMG_RES[1], donate=donate,
     )
     return step, state

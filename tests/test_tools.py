@@ -248,3 +248,32 @@ def test_measure_reference_ratio_smoke(capsys):
     assert rec["rays"] == 32
     for key in ("ref_step_s_1thread", "ours_step_s", "ratio_vs_ref_1thread"):
         assert rec[key] > 0, rec
+
+
+def test_auction_ab_dtu_pure_pieces(tmp_path):
+    """The A/B driver's pure pieces: the train.log parser recovers
+    per-epoch metrics + rays/s, and the DTU-shaped conf template parses
+    into a valid experiment config (1024 junctions, DBSCAN proposals,
+    SceneDataset) so both arms train the intended regime."""
+    from tools.auction_ab_dtu import CONF_TEMPLATE, parse_train_log
+    from neat_tpu.train.config import build_experiment_config, parse_hocon
+
+    log = tmp_path / "train.log"
+    log.write_text(
+        "2026-01-01 00:00:00,000 train.x INFO: Loading data ...\n"
+        "2026-01-01 00:00:01,000 train.x INFO: dtu-ab [0/2]: "
+        "loss = 0.5000 psnr = 10.0000 rgb_loss = 0.4000 (10,000 rays/s)\n"
+        "2026-01-01 00:00:02,000 train.x INFO: dtu-ab [1/2]: "
+        "loss = 0.2500 psnr = 12.0000 rgb_loss = 0.2000 (20,000 rays/s)\n"
+    )
+    epochs, rays = parse_train_log(str(tmp_path))
+    assert len(epochs) == 2 and rays == [10000.0, 20000.0]
+    assert epochs[1]["loss"] == 0.25 and epochs[1]["psnr"] == 12.0
+
+    cfg = build_experiment_config(
+        parse_hocon(CONF_TEMPLATE.format(res0=60, res1=80))
+    )
+    assert cfg.model.dbscan_enabled
+    assert cfg.model.junctions.num_junctions == 1024
+    assert cfg.img_res == (60, 80)
+    assert cfg.dataset_kind == "dtu"

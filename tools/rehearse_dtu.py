@@ -49,6 +49,11 @@ def main(argv=None):
     parser.add_argument("--exps", default=None)
     parser.add_argument("--skip-train", default=False, action="store_true",
                         help="reuse the latest run under --exps")
+    parser.add_argument("--assignment", default="auction",
+                        choices=["auction", "callback"],
+                        help="junction-proposal assignment backend "
+                        "(tools/auction_ab_dtu.py A/Bs this at DTU shapes)")
+    parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--vote-ratio", type=float, default=0.0,
                         dest="vote_ratio",
                         help="view-count-relative junction vote gate "
@@ -79,6 +84,8 @@ def main(argv=None):
             data_root=args.scene_root,
             exps_folder=exps,
             nepochs=args.nepoch,
+            assignment_method=args.assignment,
+            seed=args.seed,
         )
         runner.run()
         rundir = runner.rundir
