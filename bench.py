@@ -54,18 +54,57 @@ def _tpu_relay_alive(port: int = 8082, attempts: int = 6, wait_s: float = 10.0):
     return False
 
 
+def _tpu_op_completes(timeout_s: float = 120.0, attempts: int = 3,
+                      wait_s: float = 60.0):
+    """End-to-end TPU health: the relay's TCP listener can stay up while
+    its EXTERNAL peer is wedged (observed mid-round-4: port accepts,
+    every op silently hangs forever), so a port probe is not enough.
+    Run one tiny jax op in a SUBPROCESS with a hard timeout — the parent
+    never touches the TPU backend itself, so a hang is contained and
+    killable."""
+    import subprocess
+
+    probe = (
+        "import jax, numpy as np, jax.numpy as jnp;"
+        "x = jnp.ones((8, 8));"
+        "print(float(np.asarray(x.sum())))"
+    )
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=timeout_s,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if i + 1 < attempts:
+            time.sleep(wait_s)
+    return False
+
+
 def main():
     import os.path
 
     # only meaningful where the axon tunnel IS the TPU path; on a direct
     # TPU host (no relay script) skip straight to jax
-    if os.path.exists("/root/.tpu_init.py") and not _tpu_relay_alive():
-        sys.exit(
-            "bench.py: TPU tunnel relay (127.0.0.1:8082) is not answering — "
-            "a TPU bench would hang indefinitely. The relay is driven "
-            "externally and cannot be restarted from this session; re-run "
-            "when it is back."
-        )
+    if os.path.exists("/root/.tpu_init.py"):
+        if not _tpu_relay_alive():
+            sys.exit(
+                "bench.py: TPU tunnel relay (127.0.0.1:8082) is not "
+                "answering — a TPU bench would hang indefinitely. The relay "
+                "is driven externally and cannot be restarted from this "
+                "session; re-run when it is back."
+            )
+        if not _tpu_op_completes():
+            sys.exit(
+                "bench.py: TPU relay port is open but an end-to-end op "
+                "probe never completed (external relay peer wedged) — a "
+                "TPU bench would hang indefinitely. Re-run when the "
+                "tunnel is healthy."
+            )
 
     import jax
 

@@ -42,3 +42,34 @@ class TestDriverContract:
         fn, (params, inputs) = ge.entry()
         assert inputs["uv"].shape == (1024, 2)
         assert inputs["verts2d"].shape[0] == inputs["verts_mask"].shape[0]
+
+
+class TestTpuHealthProbe:
+    """bench.py's end-to-end TPU health probe: the relay's TCP port can
+    stay open while its external peer is wedged (every op hangs), so the
+    probe must detect a hung subprocess via timeout — observed live in
+    round 4."""
+
+    def test_op_probe_detects_hang(self, monkeypatch):
+        import subprocess
+
+        bench = _load("bench", ROOT / "bench.py")
+
+        def fake_run(cmd, timeout=None, capture_output=False):
+            raise subprocess.TimeoutExpired(cmd, timeout)
+
+        monkeypatch.setattr(subprocess, "run", fake_run)
+        assert bench._tpu_op_completes(timeout_s=0.1, attempts=2,
+                                       wait_s=0.0) is False
+
+    def test_op_probe_passes_healthy(self, monkeypatch):
+        import subprocess
+
+        bench = _load("bench", ROOT / "bench.py")
+
+        class R:
+            returncode = 0
+
+        monkeypatch.setattr(subprocess, "run",
+                            lambda *a, **k: R())
+        assert bench._tpu_op_completes(timeout_s=0.1, attempts=1) is True

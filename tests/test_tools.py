@@ -277,3 +277,50 @@ def test_auction_ab_dtu_pure_pieces(tmp_path):
     assert cfg.model.junctions.num_junctions == 1024
     assert cfg.img_res == (60, 80)
     assert cfg.dataset_kind == "dtu"
+
+
+def test_geometry_sweep_smoke_and_resume(tmp_path, capsys, monkeypatch):
+    """The geometry-sweep driver end-to-end on a tiny scene (train ->
+    finalize -> eval_abc -> report), then again with --resume: the second
+    invocation must CONTINUE the existing timestamped run (one rundir,
+    epochs extended) instead of starting a fresh one — the recovery path
+    for a TPU-relay wedge mid-sweep. The production conf template is the
+    full-size flagship model (minutes of CPU compile), so the smoke swaps
+    in the tiny model with the driver's placeholders."""
+    import glob
+
+    import tools.geometry_sweep as gs
+    from tools.geometry_sweep import main as sweep_main
+
+    tiny_template = (
+        TINY_CONF.replace("{", "{{").replace("}", "}}")
+        .replace("expname = tiny", "expname = geom_{geom}")
+        .replace("data_dir = toy", "data_dir = {geom}")
+        .replace("img_res = [48, 48]", "img_res = [{res}, {res}]")
+    )
+    monkeypatch.setattr(gs, "CONF_TEMPLATE", tiny_template)
+
+    common = [
+        "--workdir", str(tmp_path),
+        "--geometries", "tetra",
+        "--views", "3",
+        "--res", "48",
+        "--votes", "1", "1",
+        "--out", str(tmp_path / "report.md"),
+    ]
+    sweep_main(common + ["--nepoch", "1"])
+    rundirs = glob.glob(str(tmp_path / "exps" / "geom_tetra" / "*"))
+    assert len(rundirs) == 1
+    assert "## tetra" in (tmp_path / "report.md").read_text()
+
+    sweep_main(common + ["--nepoch", "2", "--resume"])
+    # resume follows the runner's is_continue contract (mirroring the
+    # reference volsdf_train.py:83-97): a NEW timestamp dir restoring
+    # params+optimizer+schedule from the previous one's checkpoints
+    rundirs2 = sorted(glob.glob(str(tmp_path / "exps" / "geom_tetra" / "*")))
+    assert len(rundirs2) == 2
+    new_run = [d for d in rundirs2 if d not in rundirs][0]
+    log = open(osp.join(new_run, "train.log")).read()
+    assert "Resumed epoch 1" in log, "must restore from the first run"
+    assert "[1/2]" in log and "[0/2]" not in log, \
+        "resumed run must continue past the first epoch, not restart"

@@ -107,7 +107,7 @@ train {{
     loss_class = model.networks.loss_wfr.VolSDFLoss
     learning_rate = 5.0e-4
     num_pixels = 1024
-    checkpoint_freq = 500
+    checkpoint_freq = 100
     plot_freq = 100000
     split_n_pixels = 1024
 }}
@@ -148,6 +148,11 @@ def main(argv=None):
                         "family")
     parser.add_argument("--skip-train", default=False, action="store_true",
                         help="reuse existing runs under workdir/exps")
+    parser.add_argument("--resume", default=False, action="store_true",
+                        help="continue an interrupted training run from "
+                        "its latest checkpoint instead of starting fresh "
+                        "(a wedged TPU relay mid-sweep otherwise loses "
+                        "the partial run)")
     parser.add_argument("--out", default=None)
     parser.add_argument("--platform", default=None,
                         choices=["cpu", "tpu", "axon"])
@@ -210,6 +215,7 @@ def main(argv=None):
                 data_root=scenes,
                 exps_folder=exps,
                 nepochs=args.nepoch,
+                is_continue=args.resume and bool(runconfs),
             )
             runner.run()
             runconf = osp.join(runner.rundir, "runconf.conf")
