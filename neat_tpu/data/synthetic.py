@@ -335,7 +335,17 @@ def generate_scene(
     intr_all, pose_all = [], []
     for i in range(n_views):
         theta = 2 * np.pi * i / n_views + rs.rand() * 0.2
-        phi = np.pi / 5 + rs.rand() * 0.6
+        # full-sphere coverage, stratified in z with jitter: the reference
+        # toy scene's cameras span elevations -71..+73 deg with half the
+        # views below the equator (data/abc/00075213/cameras.npz; its
+        # render.py samples the whole sphere). An upper-ring-only layout
+        # (the pre-round-4 behavior) leaves underside structure seen only
+        # at grazing angles, which the round-4 bipyramid diagnosis showed
+        # starves the field of constraint there. |z| capped at 0.93 keeps
+        # look_at_pose's up=(0,0,1) well-conditioned.
+        zfrac = -0.93 + 1.86 * (i + rs.rand()) / n_views
+        zfrac = float(np.clip(zfrac, -0.93, 0.93))
+        phi = np.arccos(zfrac)
         cam_pos = radius * np.asarray(
             [np.cos(theta) * np.sin(phi), np.sin(theta) * np.sin(phi), np.cos(phi)]
         )
