@@ -324,3 +324,31 @@ def test_geometry_sweep_smoke_and_resume(tmp_path, capsys, monkeypatch):
     assert "Resumed epoch 1" in log, "must restore from the first run"
     assert "[1/2]" in log and "[0/2]" not in log, \
         "resumed run must continue past the first epoch, not restart"
+
+
+def test_large_batch_ab_pure_pieces(tmp_path):
+    """The large-batch A/B driver's pure pieces: write_arm_conf patches
+    exactly the (expname, learning_rate, num_pixels) triple into the
+    flagship conf — leaving split_n_pixels untouched — and the patched
+    text parses into a valid experiment config; median_rays recovers the
+    sustained throughput with the compile epoch dropped."""
+    from tools.large_batch_ab import median_rays, write_arm_conf
+    from neat_tpu.train.config import build_experiment_config, parse_hocon
+
+    path = write_arm_conf(str(tmp_path), "large", 4096, 1.0e-3)
+    text = open(path).read()
+    cfg = build_experiment_config(parse_hocon(text))
+    assert cfg.expname == "lb_large"
+    assert cfg.num_pixels == 4096
+    assert cfg.learning_rate == 1.0e-3
+    # the eval chunk must keep the flagship value (only the train batch
+    # scales)
+    assert "split_n_pixels = 1024" in text
+
+    log = tmp_path / "train.log"
+    log.write_text(
+        "t INFO: lb_large [0/3]: loss = 0.5 (204 rays/s)\n"
+        "t INFO: lb_large [1/3]: loss = 0.4 (40,000 rays/s)\n"
+        "t INFO: lb_large [2/3]: loss = 0.3 (44,000 rays/s)\n"
+    )
+    assert median_rays(str(tmp_path)) == 42000.0
