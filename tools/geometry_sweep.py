@@ -245,7 +245,10 @@ def main(argv=None):
                 vote_threshold=vote,
                 junction_merge_eps=args.merge_eps,
                 data_root=scenes,
-                verbose=False,
+                # the first vote runs the (cached) per-view distillation,
+                # silent for many minutes when quiet — its per-view lines
+                # are the liveness heartbeat tools/watchdog.py keys on
+                verbose=vote == lo,
             )
             scores = eval_abc(res, scene_dir, verbose=False)
             rows.append(

@@ -125,7 +125,8 @@ def finalize_arm(rec, args):
         vote_ratio=args.vote_ratio,
         junction_merge_eps=args.merge_eps,
         data_root=args.data_root,
-        verbose=False,
+        # per-view distillation lines double as the watchdog heartbeat
+        verbose=True,
     )
     rec["finalize_wall_s"] = round(time.time() - t0, 1)
     scores = eval_abc(res, scan_dir, verbose=False)
