@@ -207,13 +207,21 @@ def wireframe_from_lines_and_junctions(
 
 
 def merge_voted_junctions(
-    junctions: np.ndarray, votes: np.ndarray, eps: float
+    junctions: np.ndarray, votes: np.ndarray, eps: float,
+    mode: str = "mean",
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Greedy vote-weighted merge of near-duplicate voted junctions:
-    process in descending-vote order; absorb all junctions within ``eps``
-    into the current one as a vote-weighted mean. Near-duplicates split
-    the one-to-one Hungarian matching of the ABC eval, so they cost
-    precision without adding recall."""
+    """Greedy merge of near-duplicate voted junctions: process in
+    descending-vote order; absorb all junctions within ``eps`` into the
+    current one. Near-duplicates split the one-to-one Hungarian matching
+    of the ABC eval, so they cost precision without adding recall.
+
+    ``mode``: how the merged coordinate is formed. ``"mean"`` =
+    vote-weighted mean of the group; ``"max"`` = the highest-voted
+    member's coordinates unchanged (winner-takes-all). A duplicate is
+    usually a latent that converged onto the same corner with WORSE
+    localization (fewer views agreed with it — that is why it has fewer
+    votes), so the weighted mean contaminates the good twin; "max"
+    merges the vote support without touching the winner's geometry."""
     if junctions.shape[0] == 0 or eps <= 0:
         return junctions, votes
     order = np.argsort(-votes)
@@ -228,7 +236,10 @@ def merge_voted_junctions(
         grp = (~used) & (d < eps)
         used |= grp
         w = vts[grp]
-        out_pts.append((pts[grp] * w[:, None]).sum(0) / w.sum())
+        if mode == "max":
+            out_pts.append(pts[i])
+        else:
+            out_pts.append((pts[grp] * w[:, None]).sum(0) / w.sum())
         out_votes.append(w.sum())
     return (
         np.asarray(out_pts, dtype=np.float32),
@@ -439,9 +450,32 @@ def assemble_wireframe(
     junction_merge_eps: float = 0.0,
     sdf_filter_threshold: float = 0.0,
     edge_vote_threshold: int = 1,
+    merge_before_vote: bool = False,
+    merge_mode: str = "mean",
+    junction_coords: str = "latent",
 ) -> Dict[str, np.ndarray]:
     """The cheap half of finalization: score gate, vote gate, optional
-    precision post-processing, graph assembly (reference :272-302)."""
+    precision post-processing, graph assembly (reference :272-302).
+
+    ``merge_before_vote``: apply ``junction_merge_eps`` to the full
+    voted-any junction set BEFORE the vote gate, summing votes across a
+    merged group. The per-view endpoint matching is one-to-one
+    (reference :266-271), so two latents that converged onto the same
+    physical corner SPLIT that corner's votes between them; gating first
+    can drop both halves of a true junction (or keep a half-voted
+    duplicate) where merge-then-gate sees the corner's full support.
+    Default off = the round-3 recipe's post-gate merge.
+
+    ``junction_coords``: where a kept junction's 3D coordinate comes
+    from. ``"latent"`` = the ffn(latent) output (Newton-refined; the
+    reference's choice, :173-187). ``"vote_mean"`` / ``"vote_median"`` =
+    the mean/median of the junction's voting endpoints — the
+    field-distilled line endpoints that matched it within
+    ``junc_match_threshold``. The endpoints pool evidence from every
+    view, so they localize markedly better than a single latent
+    (measured round 4: worst-case per-junction error halves); with
+    ``vote_mean`` + ``merge_mode="mean"`` a merged group's coordinate is
+    exactly the pooled mean of its endpoint union."""
     global_junctions = distilled["global_junctions"]
     lines3d_all = distilled["lines3d_raw"][
         distilled["scores_raw"] < line_score_threshold
@@ -450,13 +484,33 @@ def assemble_wireframe(
     for k, p in zip(distilled["votes_idx"], distilled["votes_pts"]):
         gjc_votes[int(k)].append(p)
 
-    voted = [k for k, v in gjc_votes.items() if len(v) > vote_threshold]
-    junctions3d_initial = (
-        global_junctions[np.asarray(voted)]
-        if voted
-        else np.zeros((0, 3), dtype=np.float32)
-    )
-    vote_counts = np.asarray([len(gjc_votes[k]) for k in voted], dtype=np.int32)
+    def _coord(k: int) -> np.ndarray:
+        if junction_coords == "latent":
+            return global_junctions[k]
+        v = np.asarray(gjc_votes[k], dtype=np.float64)
+        return v.mean(0) if junction_coords == "vote_mean" else np.median(v, 0)
+
+    def _points(keys) -> np.ndarray:
+        if not len(keys):
+            return np.zeros((0, 3), dtype=np.float32)
+        return np.asarray([_coord(k) for k in keys], dtype=np.float32)
+
+    if junction_merge_eps > 0 and merge_before_vote:
+        keys = sorted(gjc_votes.keys())
+        pts = _points(keys)
+        counts = np.asarray([len(gjc_votes[k]) for k in keys], dtype=np.int32)
+        pts, counts = merge_voted_junctions(
+            pts, counts, junction_merge_eps, mode=merge_mode
+        )
+        keep = counts > vote_threshold
+        junctions3d_initial = pts[keep]
+        vote_counts = counts[keep]
+    else:
+        voted = [k for k, v in gjc_votes.items() if len(v) > vote_threshold]
+        junctions3d_initial = _points(voted)
+        vote_counts = np.asarray(
+            [len(gjc_votes[k]) for k in voted], dtype=np.int32
+        )
 
     if sdf_filter_threshold > 0 and junctions3d_initial.shape[0] > 0:
         sdf_vals = np.asarray(
@@ -467,9 +521,10 @@ def assemble_wireframe(
         keep = np.abs(sdf_vals) < sdf_filter_threshold
         junctions3d_initial = junctions3d_initial[keep]
         vote_counts = vote_counts[keep]
-    if junction_merge_eps > 0:
+    if junction_merge_eps > 0 and not merge_before_vote:
         junctions3d_initial, vote_counts = merge_voted_junctions(
-            junctions3d_initial, vote_counts, junction_merge_eps
+            junctions3d_initial, vote_counts, junction_merge_eps,
+            mode=merge_mode,
         )
 
     if junctions3d_initial.shape[0] > 0:
@@ -544,6 +599,9 @@ def wireframe_recon(
     vote_threshold: int = 1,
     vote_ratio: float = 0.0,
     junction_merge_eps: float = 0.0,
+    merge_before_vote: bool = False,
+    merge_mode: str = "mean",
+    junction_coords: str = "latent",
     sdf_filter_threshold: float = 0.0,
     edge_vote_threshold: int = 1,
     sdf_junction_refine: bool = True,
@@ -659,6 +717,15 @@ def wireframe_recon(
             "data_root": osp.realpath(data_root),
             "vote_threshold": vote_threshold,
             "junction_merge_eps": junction_merge_eps,
+            # hash-compat: only non-default merge variants change the key,
+            # so round-3 artifacts keep their names
+            **({"merge_before_vote": True} if merge_before_vote else {}),
+            **({"merge_mode": merge_mode} if merge_mode != "mean" else {}),
+            **(
+                {"junction_coords": junction_coords}
+                if junction_coords != "latent"
+                else {}
+            ),
             "sdf_filter_threshold": sdf_filter_threshold,
             "edge_vote_threshold": edge_vote_threshold,
             # visibility-check knobs shape -wfi_checked.npz / -neat.pkl:
@@ -678,6 +745,9 @@ def wireframe_recon(
         junction_merge_eps=junction_merge_eps,
         sdf_filter_threshold=sdf_filter_threshold,
         edge_vote_threshold=edge_vote_threshold,
+        merge_before_vote=merge_before_vote,
+        merge_mode=merge_mode,
+        junction_coords=junction_coords,
     )
     results["kwargs"] = {
         "conf": conf,
@@ -689,6 +759,9 @@ def wireframe_recon(
         "vote_threshold": vote_threshold,
         "vote_ratio": vote_ratio,
         "junction_merge_eps": junction_merge_eps,
+        "merge_before_vote": merge_before_vote,
+        "merge_mode": merge_mode,
+        "junction_coords": junction_coords,
         "sdf_filter_threshold": sdf_filter_threshold,
         "edge_vote_threshold": edge_vote_threshold,
         "epoch": epoch,
@@ -744,6 +817,22 @@ def main(argv=None):
                         dest="junction_merge_eps",
                         help="vote-weighted merge radius for near-duplicate "
                         "voted junctions (0 = reference parity)")
+    parser.add_argument("--merge-before-vote", default=False,
+                        action="store_true", dest="merge_before_vote",
+                        help="merge duplicate junctions BEFORE the vote "
+                        "gate so split votes recombine (see "
+                        "assemble_wireframe; off = reference parity)")
+    parser.add_argument("--merge-mode", default="mean",
+                        choices=["mean", "max"], dest="merge_mode",
+                        help="merged-coordinate rule: vote-weighted mean "
+                        "vs winner-takes-all")
+    parser.add_argument("--junction-coords", default="latent",
+                        choices=["latent", "vote_mean", "vote_median"],
+                        dest="junction_coords",
+                        help="junction coordinate source: the ffn(latent) "
+                        "output (reference parity) or the mean/median of "
+                        "the junction's voting endpoints (better "
+                        "localized; docs/geometry_sweep_r4.md)")
     parser.add_argument("--sdf-filter", default=0.0, type=float,
                         dest="sdf_filter_threshold",
                         help="drop voted junctions with |sdf| above this "
@@ -772,6 +861,9 @@ def main(argv=None):
         vote_threshold=args.vote_threshold,
         vote_ratio=args.vote_ratio,
         junction_merge_eps=args.junction_merge_eps,
+        merge_before_vote=args.merge_before_vote,
+        merge_mode=args.merge_mode,
+        junction_coords=args.junction_coords,
         sdf_filter_threshold=args.sdf_filter_threshold,
         edge_vote_threshold=args.edge_vote_threshold,
         data_root=args.data_root,

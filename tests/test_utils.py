@@ -252,6 +252,117 @@ class TestFinalizePostProcessing:
         assert wf2.shape[0] == 1  # only the doubly-supported edge
         np.testing.assert_allclose(wf2[0], junctions[[0, 1]])
 
+    def test_merge_mode_max(self):
+        """Winner-takes-all keeps the highest-voted member's coordinates
+        untouched (a low-vote duplicate is usually the WORSE-localized
+        twin; the mean would drag the good one toward it)."""
+        from neat_tpu.wireframe.finalize import merge_voted_junctions
+
+        j = np.array(
+            [[0.0, 0, 0], [0.004, 0, 0], [1.0, 0, 0]], dtype=np.float32
+        )
+        votes = np.array([5, 2, 3], dtype=np.int32)
+        merged, mvotes = merge_voted_junctions(j, votes, eps=0.01, mode="max")
+        assert merged.shape == (2, 3)
+        assert sorted(mvotes.tolist()) == [3, 7]
+        big = merged[np.argmax(mvotes)]
+        np.testing.assert_allclose(big, j[0], atol=0)  # untouched
+
+    def _distilled(self):
+        """Two latents on one corner splitting 3+2 votes, one spurious
+        latent with 1 vote, one clean far corner with 4 votes."""
+        global_junctions = np.array(
+            [
+                [0.0, 0.0, 0.0],     # corner A, twin 1 (3 votes)
+                [0.015, 0.0, 0.0],   # corner A, twin 2 (2 votes)
+                [1.0, 0.0, 0.0],     # corner B (4 votes)
+                [0.5, 0.5, 0.5],     # spurious (1 vote)
+            ],
+            dtype=np.float32,
+        )
+        votes_idx = np.array([0, 0, 0, 1, 1, 2, 2, 2, 2, 3], dtype=np.int32)
+        votes_pts = np.array(
+            [
+                [0.001, 0, 0], [0.002, 0, 0], [0.003, 0, 0],
+                [0.004, 0, 0], [0.005, 0, 0],
+                [1.001, 0, 0], [1.002, 0, 0], [1.003, 0, 0], [1.004, 0, 0],
+                [0.51, 0.5, 0.5],
+            ],
+            dtype=np.float32,
+        )
+        return {
+            "global_junctions": global_junctions,
+            "lines3d_raw": np.zeros((0, 2, 3), dtype=np.float32),
+            "scores_raw": np.zeros((0,), dtype=np.float32),
+            "votes_idx": votes_idx,
+            "votes_pts": votes_pts,
+        }
+
+    def test_merge_before_vote_recombines_split_votes(self):
+        """Gate 2: post-gate merge loses twin 2 (2 votes) BEFORE merging,
+        while pre-gate merge pools 3+2=5 votes and keeps corner A."""
+        from neat_tpu.wireframe.finalize import assemble_wireframe
+
+        distilled = self._distilled()
+        post = assemble_wireframe(
+            distilled, None, None, vote_threshold=2,
+            junction_merge_eps=0.02,
+        )
+        # twin 2 and the spurious latent fall below the gate; corner A
+        # survives on twin 1's 3 votes alone (no merge partner left)
+        assert post["junctions3d_initial"].shape == (2, 3)
+        assert sorted(post["junction_votes"].tolist()) == [3, 4]
+
+        pre = assemble_wireframe(
+            distilled, None, None, vote_threshold=2,
+            junction_merge_eps=0.02, merge_before_vote=True,
+        )
+        assert pre["junctions3d_initial"].shape == (2, 3)
+        # corner A carries its full pooled support
+        assert sorted(pre["junction_votes"].tolist()) == [4, 5]
+        # gate 4: post-gate drops corner A entirely (3 < 4 votes after
+        # losing its twin); pre-gate keeps it at 5 pooled votes
+        post4 = assemble_wireframe(
+            distilled, None, None, vote_threshold=4,
+            junction_merge_eps=0.02,
+        )
+        assert post4["junctions3d_initial"].shape == (0, 3)
+        pre4 = assemble_wireframe(
+            distilled, None, None, vote_threshold=4,
+            junction_merge_eps=0.02, merge_before_vote=True,
+        )
+        assert pre4["junctions3d_initial"].shape == (1, 3)
+
+    def test_junction_coords_vote_mean(self):
+        """vote_mean replaces each junction's latent coordinate with the
+        mean of its voting endpoints; with merge_mode=mean a merged
+        group's coordinate is exactly the pooled endpoint mean."""
+        from neat_tpu.wireframe.finalize import assemble_wireframe
+
+        distilled = self._distilled()
+        res = assemble_wireframe(
+            distilled, None, None, vote_threshold=1,
+            junction_merge_eps=0.02, merge_before_vote=True,
+            junction_coords="vote_mean",
+        )
+        assert res["junctions3d_initial"].shape == (2, 3)
+        ji = res["junctions3d_initial"]
+        a = ji[np.argmin(ji[:, 0])]
+        pooled = distilled["votes_pts"][:5].mean(0)
+        np.testing.assert_allclose(a, pooled, atol=1e-6)
+
+        med = assemble_wireframe(
+            distilled, None, None, vote_threshold=1,
+            junction_coords="vote_median",
+        )
+        # no merge: corner B coordinate = median of its 4 endpoints
+        b = med["junctions3d_initial"][
+            np.argmax(med["junctions3d_initial"][:, 0])
+        ]
+        np.testing.assert_allclose(
+            b, np.median(distilled["votes_pts"][5:9], axis=0), atol=1e-6
+        )
+
 
 class TestVoteRatio:
     def test_effective_vote_threshold(self):
