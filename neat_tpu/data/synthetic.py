@@ -333,16 +333,22 @@ def generate_scene(
 
     rs = np.random.RandomState(seed)
     intr_all, pose_all = [], []
+    golden = np.pi * (3.0 - np.sqrt(5.0))
     for i in range(n_views):
-        theta = 2 * np.pi * i / n_views + rs.rand() * 0.2
-        # full-sphere coverage, stratified in z with jitter: the reference
-        # toy scene's cameras span elevations -71..+73 deg with half the
-        # views below the equator (data/abc/00075213/cameras.npz; its
-        # render.py samples the whole sphere). An upper-ring-only layout
-        # (the pre-round-4 behavior) leaves underside structure seen only
-        # at grazing angles, which the round-4 bipyramid diagnosis showed
-        # starves the field of constraint there. |z| capped at 0.93 keeps
+        # Fibonacci-sphere coverage: golden-angle azimuth with z
+        # stratified full-sphere. The reference toy scene's cameras span
+        # elevations -71..+73 deg with half the views below the equator
+        # (data/abc/00075213/cameras.npz; its render.py samples the whole
+        # sphere). An upper-ring-only layout (pre-round-4) starved
+        # underside structure of constraint (bipyramid apex diagnosis);
+        # a single azimuth wrap synchronized with the z sweep (the first
+        # round-4 fix) perfectly CORRELATES azimuth with elevation, so
+        # direction combinations like "+y side AND above the scene"
+        # never occur — the stacked family's contact edge is visible
+        # only from such views and got zero 2D supervision. Golden-angle
+        # azimuth decorrelates the two axes. |z| capped at 0.93 keeps
         # look_at_pose's up=(0,0,1) well-conditioned.
+        theta = golden * i + rs.rand() * 0.2
         zfrac = -0.93 + 1.86 * (i + rs.rand()) / n_views
         zfrac = float(np.clip(zfrac, -0.93, 0.93))
         phi = np.arccos(zfrac)

@@ -234,9 +234,15 @@ def show_view(
         gjc3d = global_junctions_forward(params["junctions"], cfg.junctions)
         junctions2d = np.asarray(project2d(k3, rot, trans, gjc3d))
 
+    lines2d = np.asarray(lines2d, dtype=np.float32).reshape(-1, 4)
+    # a random-init or barely-trained field can emit degenerate rays
+    # (NaN segments); the distillation pipeline drops them implicitly at
+    # the 2D-match gate (NaN < threshold is False) — drop them here too
+    # so the overlay stays plottable at any training stage
+    lines2d = lines2d[np.isfinite(lines2d).all(axis=1)]
     result = {
         "rays2d": rays2d.astype(np.float32),
-        "lines2d": np.asarray(lines2d, dtype=np.float32).reshape(-1, 4),
+        "lines2d": lines2d,
         "junctions2d": junctions2d.astype(np.float32),
     }
     if out_path is not None:
