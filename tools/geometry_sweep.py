@@ -143,6 +143,14 @@ def main(argv=None):
                         metavar=("LO", "HI"),
                         help="default: 1 .. views (the full gate range)")
     parser.add_argument("--merge-eps", type=float, default=0.02)
+    parser.add_argument("--merge-before-vote", default=False,
+                        action="store_true",
+                        help="pre-gate duplicate merge (split votes "
+                        "recombine; docs/geometry_sweep_notes_r4.md)")
+    parser.add_argument("--junction-coords", default="latent",
+                        choices=["latent", "vote_mean", "vote_median"],
+                        help="junction coordinate source (see "
+                        "assemble_wireframe)")
     parser.add_argument("--vote-ratio", type=float, default=0.2,
                         help="the recipe under test; reported in/out per "
                         "family")
@@ -183,6 +191,8 @@ def main(argv=None):
         "",
         f"schedule: {args.nepoch} epochs x {args.views} views, "
         f"res {args.res}, merge-eps {args.merge_eps}, "
+        f"merge-before-vote {args.merge_before_vote}, "
+        f"junction-coords {args.junction_coords}, "
         f"recipe vote-ratio {args.vote_ratio} "
         f"(= {int(round(args.vote_ratio * args.views))} votes)",
         "",
@@ -244,6 +254,8 @@ def main(argv=None):
                 checkpoint="latest",
                 vote_threshold=vote,
                 junction_merge_eps=args.merge_eps,
+                merge_before_vote=args.merge_before_vote,
+                junction_coords=args.junction_coords,
                 data_root=scenes,
                 # the first vote runs the (cached) per-view distillation,
                 # silent for many minutes when quiet — its per-view lines
