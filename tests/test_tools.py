@@ -325,6 +325,15 @@ def test_geometry_sweep_smoke_and_resume(tmp_path, capsys, monkeypatch):
     assert "[1/2]" in log and "[0/2]" not in log, \
         "resumed run must continue past the first epoch, not restart"
 
+    # the calibrated-recipe knobs reach wireframe_recon and the header
+    sweep_main(common + ["--nepoch", "2", "--skip-train",
+                         "--merge-before-vote",
+                         "--junction-coords", "vote_mean"])
+    report = (tmp_path / "report.md").read_text()
+    assert "merge-before-vote True" in report
+    assert "junction-coords vote_mean" in report
+    assert "## tetra" in report
+
 
 def test_large_batch_ab_pure_pieces(tmp_path):
     """The large-batch A/B driver's pure pieces: write_arm_conf patches
