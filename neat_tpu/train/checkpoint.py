@@ -90,7 +90,15 @@ def load_checkpoint(ckpt_dir: str, tag: str = "latest") -> Tuple[Any, int]:
     path = osp.join(ckpt_dir, f"{tag}.ckpt")
     try:
         return _read_ckpt(path)
-    except (pickle.UnpicklingError, EOFError, ValueError, MemoryError) as e:
+    except (
+        FileNotFoundError,
+        pickle.UnpicklingError,
+        EOFError,
+        ValueError,
+        MemoryError,
+    ) as e:
+        # FileNotFoundError: a kill between the epoch-tag write and the
+        # latest-tag write leaves the numeric tag as the newest snapshot
         first_err = e
     # fall back over numeric epoch tags, newest first, skipping the bad one
     epochs = []

@@ -299,11 +299,22 @@ class TrainRunner:
                     f"{old_ckpt} is unreadable on this host; multi-host "
                     "resume requires exps_folder on a shared filesystem"
                 )
-            self.state, self.start_epoch = load_checkpoint(old_ckpt, checkpoint)
-            self.logger.info(
-                f"Resumed epoch {self.start_epoch} from {old_ckpt} "
-                "(params + optimizer + schedule restored exactly)"
-            )
+            try:
+                self.state, self.start_epoch = load_checkpoint(
+                    old_ckpt, checkpoint
+                )
+                self.logger.info(
+                    f"Resumed epoch {self.start_epoch} from {old_ckpt} "
+                    "(params + optimizer + schedule restored exactly)"
+                )
+            except (FileNotFoundError, RuntimeError) as e:
+                # a run killed before its first save leaves a rundir with
+                # no loadable snapshot; an unattended --resume relaunch
+                # (tools/watchdog.py) must start fresh, not crash
+                self.logger.warning(
+                    f"resume requested but no loadable checkpoint in "
+                    f"{old_ckpt} ({e}); starting from scratch"
+                )
 
         # optional TensorBoard scalars (reference --use_tb, volsdf_train.py:237-242);
         # process 0 owns the experiment directory — workers must not recreate

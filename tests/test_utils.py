@@ -622,6 +622,60 @@ class TestCheckpointDurability:
         with _pytest.raises(RuntimeError, match="corrupt"):
             load_checkpoint(str(d), "latest")
 
+    def test_missing_latest_falls_back_to_newest_epoch(self, tmp_path):
+        """A kill between the epoch-tag write and the latest-tag write
+        leaves the numeric tag as the newest snapshot (observed live:
+        the round-4 relay wedge killed a run before latest existed)."""
+        import os
+
+        from neat_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+        d = str(tmp_path / "ckpts")
+        save_checkpoint(d, self._state(3), epoch=3)
+        os.remove(tmp_path / "ckpts" / "latest.ckpt")
+        state, epoch = load_checkpoint(d, "latest")
+        assert epoch == 3
+
+    def test_empty_dir_raises_runtime_error(self, tmp_path):
+        """No snapshot at all -> RuntimeError (not FileNotFoundError):
+        the runner's --is_continue catches it and starts fresh instead
+        of crashing an unattended watchdog relaunch."""
+        import pytest as _pytest
+
+        from neat_tpu.train.checkpoint import load_checkpoint
+
+        d = tmp_path / "ckpts"
+        d.mkdir()
+        with _pytest.raises(RuntimeError):
+            load_checkpoint(str(d), "latest")
+
+    def test_resume_without_checkpoint_starts_fresh(self, tmp_path):
+        """Runner-level: --is_continue against a rundir killed before its
+        first save must start from scratch, not crash (the watchdog's
+        unattended relaunch path)."""
+        import os
+
+        from neat_tpu.data.synthetic import generate_scene
+        from neat_tpu.train.runner import TrainRunner
+        from test_runner import TINY_CONF
+
+        os.makedirs(tmp_path / "toy")
+        generate_scene(str(tmp_path / "toy"), n_views=2, res=(48, 48))
+        conf = tmp_path / "tiny.conf"
+        conf.write_text(TINY_CONF)
+        r1 = TrainRunner(
+            conf=str(conf), data_root=str(tmp_path),
+            exps_folder=str(tmp_path / "exps"), nepochs=0,
+        )
+        # killed before any save: no checkpoint files exist
+        assert not os.listdir(osp.join(r1.rundir, "checkpoints"))
+        r2 = TrainRunner(
+            conf=str(conf), data_root=str(tmp_path),
+            exps_folder=str(tmp_path / "exps"), nepochs=1,
+            is_continue=True,
+        )
+        assert r2.start_epoch == 0
+
     def test_save_interrupted_midwrite_preserves_previous(self, tmp_path, monkeypatch):
         """Kill the process (simulated as an exception) inside the tmp-file
         write: the previous latest.ckpt must remain valid and no tmp litter
