@@ -441,6 +441,37 @@ def effective_vote_threshold(
     return max(vote_threshold, int(round(vote_ratio * n_views)))
 
 
+def effective_check_views(
+    ckview: int, check_view_ratio: float, n_views: int
+) -> int:
+    """View-count-relative visibility-check gate. The reference's
+    ``--ckview`` default of 5 is calibrated for DTU-scale captures — its
+    own CLI comment reads "5 views for dtu24" (neat-final-parsing.py:415,
+    440), and DTU scan24 has 49 views, i.e. ~10% of views. Applying the
+    same ABSOLUTE 5 to a smaller capture is strictly harsher: on the
+    24-view synthetic stacked scene it rejected a correctly-reconstructed
+    occlusion-heavy contact edge that has exactly 4 supervising views
+    (docs/geometry_sweep_notes_r4.md). Expressed as a ratio, 0.1 x 49 =
+    4.9 -> 5 REPRODUCES the reference's DTU choice while scaling it
+    honestly to the capture size (0.1 x 24 -> 2). ``check_view_ratio`` 0
+    disables (reference parity: the absolute ``ckview`` is used)."""
+    if check_view_ratio <= 0.0:
+        return ckview
+    return max(1, int(round(check_view_ratio * n_views)))
+
+
+# the measured-best assembly knobs (docs/geometry_sweep_r4.md, seed and
+# geometry sweeps): applied by the CLI's --recipe calibrated for any knob
+# the user left at its reference-parity default
+CALIBRATED_RECIPE = {
+    "vote_ratio": 0.2,
+    "junction_merge_eps": 0.02,
+    "merge_before_vote": True,
+    "junction_coords": "vote_mean",
+    "check_view_ratio": 0.1,
+}
+
+
 def assemble_wireframe(
     distilled: Dict[str, np.ndarray],
     params,
@@ -596,6 +627,7 @@ def wireframe_recon(
     ckdist: float = 100.0,
     ckview: int = 5,
     junc_match_threshold: float = 0.02,
+    check_view_ratio: float = 0.0,
     vote_threshold: int = 1,
     vote_ratio: float = 0.0,
     junction_merge_eps: float = 0.0,
@@ -705,6 +737,19 @@ def wireframe_recon(
                 f"effective vote_threshold {vote_threshold}"
             )
 
+    if check_view_ratio > 0.0:
+        # resolved BEFORE the output hash: the effective integer folds
+        # into the existing "ckview" key, so ratio-addressed outputs
+        # share names with their equivalent absolute-ckview runs
+        ckview = effective_check_views(
+            ckview, check_view_ratio, int(scene.n_images)
+        )
+        if verbose:
+            print(
+                f"check_view_ratio {check_view_ratio} x {scene.n_images} "
+                f"views -> effective ckview {ckview}"
+            )
+
     sha256 = make_hash_sha256(
         {
             "conf": conf_key,
@@ -755,6 +800,7 @@ def wireframe_recon(
         "distance": distance,
         "ckdist": ckdist,
         "ckview": ckview,
+        "check_view_ratio": check_view_ratio,
         "junc_match_threshold": junc_match_threshold,
         "vote_threshold": vote_threshold,
         "vote_ratio": vote_ratio,
@@ -802,6 +848,23 @@ def main(argv=None):
     parser.add_argument("--reproj-dis", default=10.0, type=float, dest="reproj_dis")
     parser.add_argument("--ckdist", default=100.0, type=float)
     parser.add_argument("--ckview", default=5, type=int)
+    parser.add_argument("--check-view-ratio", default=0.0, type=float,
+                        dest="check_view_ratio",
+                        help="visibility-check gate as a fraction of the "
+                        "view count (0.1 reproduces the reference's "
+                        "dtu24 ckview=5 at 49 views and scales it to "
+                        "smaller captures; 0 = reference parity, the "
+                        "absolute --ckview applies)")
+    parser.add_argument("--recipe", default="reference",
+                        choices=["reference", "calibrated"],
+                        help="assembly preset: 'reference' keeps the "
+                        "reference CLI defaults (parity); 'calibrated' "
+                        "applies the measured-best recipe "
+                        "(vote-ratio 0.2, junction-merge-eps 0.02, "
+                        "merge-before-vote, junction-coords vote_mean, "
+                        "check-view-ratio 0.1 — docs/geometry_sweep_r4.md) "
+                        "to every knob left at its default; explicit "
+                        "flags win over the preset")
     parser.add_argument("--overwrite", default=False, action="store_true")
     parser.add_argument("--disable-junction-refine", default=False, action="store_true")
     parser.add_argument("--junc_match_threshold", default=0.02, type=float)
@@ -848,6 +911,11 @@ def main(argv=None):
                         "N-device mesh (0 = single device)")
     args = parser.parse_args(argv)
 
+    if args.recipe == "calibrated":
+        for knob, value in CALIBRATED_RECIPE.items():
+            if getattr(args, knob) == parser.get_default(knob):
+                setattr(args, knob, value)
+
     wireframe_recon(
         conf=args.conf,
         checkpoint=args.checkpoint,
@@ -855,6 +923,7 @@ def main(argv=None):
         distance=args.reproj_dis,
         ckdist=args.ckdist,
         ckview=args.ckview,
+        check_view_ratio=args.check_view_ratio,
         overwrite=args.overwrite,
         sdf_junction_refine=not args.disable_junction_refine,
         junc_match_threshold=args.junc_match_threshold,

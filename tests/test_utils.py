@@ -377,6 +377,55 @@ class TestVoteRatio:
         # never drops below the absolute threshold
         assert effective_vote_threshold(8, 0.1, 30) == 8
 
+    def test_effective_check_views(self):
+        from neat_tpu.wireframe.finalize import effective_check_views
+
+        # disabled -> the absolute reference ckview passes through
+        assert effective_check_views(5, 0.0, 24) == 5
+        # ratio 0.1 reproduces the reference's "5 views for dtu24"
+        # (neat-final-parsing.py:415,440; DTU scan24 has 49 views)
+        assert effective_check_views(5, 0.1, 49) == 5
+        # ...and scales honestly to smaller captures: the 24-view
+        # synthetic stacked scene's contact edge has 4 supervising views
+        # and must clear the gate (docs/geometry_sweep_r5.md)
+        assert effective_check_views(5, 0.1, 24) == 2
+        # never below 1 view
+        assert effective_check_views(5, 0.01, 10) == 1
+
+    def test_recipe_preset_cli(self, monkeypatch):
+        """--recipe calibrated fills every knob left at its reference
+        default; explicit flags win over the preset."""
+        from neat_tpu.wireframe import finalize
+
+        captured = {}
+        monkeypatch.setattr(
+            finalize, "wireframe_recon",
+            lambda **kw: captured.update(kw) or {},
+        )
+        base = ["--conf", "x/runconf.conf"]
+        finalize.main(base + ["--recipe", "calibrated"])
+        assert captured["vote_ratio"] == 0.2
+        assert captured["junction_merge_eps"] == 0.02
+        assert captured["merge_before_vote"] is True
+        assert captured["junction_coords"] == "vote_mean"
+        assert captured["check_view_ratio"] == 0.1
+
+        captured.clear()
+        finalize.main(base + ["--recipe", "calibrated",
+                              "--vote-ratio", "0.3",
+                              "--junction-coords", "vote_median"])
+        assert captured["vote_ratio"] == 0.3
+        assert captured["junction_coords"] == "vote_median"
+        assert captured["merge_before_vote"] is True  # still preset
+
+        captured.clear()
+        finalize.main(base)  # default recipe = reference parity
+        assert captured["vote_ratio"] == 0.0
+        assert captured["junction_merge_eps"] == 0.0
+        assert captured["merge_before_vote"] is False
+        assert captured["junction_coords"] == "latent"
+        assert captured["check_view_ratio"] == 0.0
+
 
 class TestLossConfOverrides:
     """The conf's loss block must win over the loss-class map defaults

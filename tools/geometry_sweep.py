@@ -154,6 +154,11 @@ def main(argv=None):
     parser.add_argument("--vote-ratio", type=float, default=0.2,
                         help="the recipe under test; reported in/out per "
                         "family")
+    parser.add_argument("--check-view-ratio", type=float, default=0.0,
+                        dest="check_view_ratio",
+                        help="visibility-check gate as a fraction of the "
+                        "view count (0 = the reference's absolute "
+                        "ckview=5; 0.1 = the calibrated recipe)")
     parser.add_argument("--skip-train", default=False, action="store_true",
                         help="reuse existing runs under workdir/exps")
     parser.add_argument("--resume", default=False, action="store_true",
@@ -193,6 +198,7 @@ def main(argv=None):
         f"res {args.res}, merge-eps {args.merge_eps}, "
         f"merge-before-vote {args.merge_before_vote}, "
         f"junction-coords {args.junction_coords}, "
+        f"check-view-ratio {args.check_view_ratio}, "
         f"recipe vote-ratio {args.vote_ratio} "
         f"(= {int(round(args.vote_ratio * args.views))} votes)",
         "",
@@ -256,6 +262,7 @@ def main(argv=None):
                 junction_merge_eps=args.merge_eps,
                 merge_before_vote=args.merge_before_vote,
                 junction_coords=args.junction_coords,
+                check_view_ratio=args.check_view_ratio,
                 data_root=scenes,
                 # the first vote runs the (cached) per-view distillation,
                 # silent for many minutes when quiet — its per-view lines
