@@ -161,10 +161,14 @@ def make_train_step(
     donate: bool = True,
     shard_map_mesh=None,
     shard_axis: str = "data",
+    _raw: bool = False,
 ):
     """Build the jitted step function.
 
     step(state, scene, rng) -> (state, metrics)
+
+    ``_raw=True`` returns the un-jitted python step body (for composition
+    into the scanned multi-step below; not part of the public surface).
 
     Multi-chip modes:
       * ``data_sharding`` (GSPMD): one global program with sharding
@@ -185,7 +189,7 @@ def make_train_step(
     if shard_map_mesh is not None:
         return _make_shard_map_step(
             model_cfg, loss_cfg, optimizer, n_rays, img_width,
-            shard_map_mesh, shard_axis, donate,
+            shard_map_mesh, shard_axis, donate, _raw=_raw,
         )
 
     def loss_fn(params, inputs, ground_truth, rng):
@@ -253,8 +257,55 @@ def make_train_step(
         new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
         return new_state, aux
 
+    if _raw:
+        return step
     donate_argnums = (0,) if donate else ()
     return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_train_multi_step(
+    model_cfg: NeatConfig,
+    loss_cfg: LossConfig,
+    lr: float,
+    decay_rate: float,
+    decay_steps: int,
+    n_rays: int,
+    img_width: int,
+    data_sharding=None,
+    donate: bool = True,
+    shard_map_mesh=None,
+    shard_axis: str = "data",
+):
+    """A lax.scan over the train step: one XLA program executes K steps.
+
+    multi(state, scene, rngs) -> (state, stacked_metrics)   rngs: (K, key)
+
+    Numerically identical to K sequential ``make_train_step`` calls on the
+    same rng sequence (the scan body IS that step; tests assert exactness).
+    The point is dispatch amortization: each host->device dispatch through
+    the tunneled TPU runtime costs a relay round-trip, which at the
+    reference batch (1024 rays, ~26 ms/step) is a measurable tax per step
+    (tools/bench_breakdown.py quantifies it). The runner uses this to run a
+    whole epoch (one step per view, reference volsdf_train.py:361) in ONE
+    dispatch; the per-epoch metric drain already consumed stacked aux.
+
+    K is fixed by the rngs leading axis at trace time (one compile per
+    distinct epoch length; real scenes have a single fixed n_views).
+    """
+    raw = make_train_step(
+        model_cfg, loss_cfg, lr, decay_rate, decay_steps, n_rays, img_width,
+        data_sharding=data_sharding, donate=donate,
+        shard_map_mesh=shard_map_mesh, shard_axis=shard_axis, _raw=True,
+    )
+
+    def multi(state: TrainState, scene: Dict[str, jnp.ndarray], rngs):
+        def body(st, r):
+            return raw(st, scene, r)
+
+        return jax.lax.scan(body, state, rngs)
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(multi, donate_argnums=donate_argnums)
 
 
 def _make_shard_map_step(
@@ -266,6 +317,7 @@ def _make_shard_map_step(
     mesh,
     axis: str,
     donate: bool,
+    _raw: bool = False,
 ):
     """The shard_map pod step (see make_train_step docstring).
 
@@ -359,5 +411,7 @@ def _make_shard_map_step(
         new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
         return new_state, aux
 
+    if _raw:
+        return step
     donate_argnums = (0,) if donate else ()
     return jax.jit(step, donate_argnums=donate_argnums)

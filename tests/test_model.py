@@ -432,3 +432,73 @@ def test_use_l3d_junction_proposals():
     assert not np.allclose(
         np.asarray(out["j3d_local"]), np.asarray(out_def["j3d_local"])
     )
+
+
+def _tiny_step_scene(v=2, hw=64, w=8, n_verts=8):
+    rng = np.random.RandomState(0)
+    k = np.eye(4, dtype=np.float32)
+    k[0, 0] = k[1, 1] = 10.0
+    k[0, 2] = k[1, 2] = 4.0
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = -2.0
+    return {
+        "rgb": jnp.asarray(rng.rand(v, hw, 3).astype(np.float32)),
+        "intrinsics": jnp.asarray(np.tile(k, (v, 1, 1))),
+        "pose": jnp.asarray(np.tile(pose, (v, 1, 1))),
+        "labels": jnp.asarray(rng.randint(0, 3, (v, hw)).astype(np.int32)),
+        "uv_proj": jnp.asarray(rng.rand(v, hw, 2).astype(np.float32) * w),
+        "lines": jnp.asarray(rng.rand(v, 3, 5).astype(np.float32) * w),
+        "verts2d": jnp.asarray(rng.rand(v, n_verts, 2).astype(np.float32) * w),
+        "verts_mask": jnp.ones((v, n_verts), dtype=bool),
+        "support_idx": jnp.asarray(
+            np.tile(np.arange(hw, dtype=np.int32), (v, 1))
+        ),
+        "support_count": jnp.full((v,), hw, dtype=jnp.int32),
+    }
+
+
+class TestMultiStep:
+    def test_scan_matches_sequential_steps(self):
+        """make_train_multi_step (one lax.scan program per K steps — the
+        runner's dispatch-amortized epoch body) is numerically exact
+        against K sequential make_train_step calls on the same rng
+        sequence: same params, same opt state, stacked aux rows equal to
+        the per-step aux dicts."""
+        from neat_tpu.train.step import (
+            init_train_state,
+            make_train_step,
+            make_train_multi_step,
+        )
+
+        cfg = tiny_cfg()
+        scene = _tiny_step_scene()
+        w, n_rays, n_steps = 8, 16, 3
+        rngs = jax.random.split(jax.random.PRNGKey(7), n_steps)
+
+        step = make_train_step(cfg, LossConfig(), 5e-4, 0.1, 10, n_rays, w,
+                               donate=False)
+        state_a = init_train_state(init_neat(jax.random.PRNGKey(0), cfg),
+                                   5e-4, 0.1, 10)
+        auxes = []
+        for i in range(n_steps):
+            state_a, aux = step(state_a, scene, rngs[i])
+            auxes.append(aux)
+
+        multi = make_train_multi_step(cfg, LossConfig(), 5e-4, 0.1, 10,
+                                      n_rays, w, donate=False)
+        state_b = init_train_state(init_neat(jax.random.PRNGKey(0), cfg),
+                                   5e-4, 0.1, 10)
+        state_b, stacked = multi(state_b, scene, rngs)
+
+        assert int(state_b.step) == n_steps
+        for k in stacked:
+            got = np.asarray(stacked[k])
+            want = np.asarray([np.asarray(a[k]) for a in auxes])
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7,
+                                       err_msg=k)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state_a.params),
+            jax.tree_util.tree_leaves(state_b.params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)

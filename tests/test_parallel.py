@@ -396,8 +396,11 @@ class TestShardMapPodStep:
         canonical architecture. (Execution needs a real TPU; pallas cannot
         run on virtual CPU devices, and interpret-mode under shard_map is
         blocked by the upstream vma interaction — ops/_vma.py. The
-        driver-adjacent real-chip execution check lives in
-        tools/pod_smoke.py and ran green on the 1-device TPU mesh.)"""
+        real-chip execution check lives in tools/pod_smoke.py; its
+        ``--mode compare`` EXECUTED the fused pod step on the real TPU
+        and matched the unsharded fused step bit-exactly over 3 steps —
+        max_rel_loss_diff 0.0, max_rel_param_diff 0.0; artifact recorded
+        in RESULTS.md round 5.)"""
         from neat_tpu.model.neat import NeatConfig
 
         cfg = dataclasses.replace(

