@@ -334,6 +334,12 @@ def test_geometry_sweep_smoke_and_resume(tmp_path, capsys, monkeypatch):
     assert "junction-coords vote_mean" in report
     assert "## tetra" in report
 
+    # --seed N trains a coexisting _sN run (the seed-sweep driver path)
+    # and stamps the seed in the report header
+    sweep_main(common + ["--nepoch", "1", "--seed", "7"])
+    assert len(glob.glob(str(tmp_path / "exps" / "geom_tetra_s7" / "*"))) == 1
+    assert "seed 7" in (tmp_path / "report.md").read_text()
+
 
 def test_large_batch_ab_pure_pieces(tmp_path):
     """The large-batch A/B driver's pure pieces: write_arm_conf patches

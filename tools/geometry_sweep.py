@@ -159,6 +159,12 @@ def main(argv=None):
                         help="visibility-check gate as a fraction of the "
                         "view count (0 = the reference's absolute "
                         "ckview=5; 0.1 = the calibrated recipe)")
+    parser.add_argument("--seed", type=int, default=42,
+                        help="training seed (the runner default is 42, "
+                        "the reference's exp_runner.py:36 constant); "
+                        "non-default seeds get an _s{seed} expname "
+                        "suffix so seed-sweep runs coexist in one "
+                        "workdir (VERDICT r4 #7)")
     parser.add_argument("--skip-train", default=False, action="store_true",
                         help="reuse existing runs under workdir/exps")
     parser.add_argument("--resume", default=False, action="store_true",
@@ -199,6 +205,7 @@ def main(argv=None):
         f"merge-before-vote {args.merge_before_vote}, "
         f"junction-coords {args.junction_coords}, "
         f"check-view-ratio {args.check_view_ratio}, "
+        f"seed {args.seed}, "
         f"recipe vote-ratio {args.vote_ratio} "
         f"(= {int(round(args.vote_ratio * args.views))} votes)",
         "",
@@ -216,8 +223,10 @@ def main(argv=None):
         with open(conf_path, "w") as f:
             f.write(CONF_TEMPLATE.format(geom=geom, res=args.res))
 
+        suffix = "" if args.seed == 42 else f"_s{args.seed}"
         runconfs = sorted(
-            glob.glob(osp.join(exps, f"geom_{geom}", "*", "runconf.conf"))
+            glob.glob(osp.join(exps, f"geom_{geom}{suffix}", "*",
+                               "runconf.conf"))
         )
         if args.skip_train and runconfs:
             runconf = runconfs[-1]
@@ -230,7 +239,9 @@ def main(argv=None):
                 conf=conf_path,
                 data_root=scenes,
                 exps_folder=exps,
+                expname_suffix=suffix,
                 nepochs=args.nepoch,
+                seed=args.seed,
                 is_continue=args.resume and bool(runconfs),
             )
             runner.run()
