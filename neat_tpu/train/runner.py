@@ -36,7 +36,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import ExperimentConfig, load_experiment_config, dump_hocon
-from .step import TrainState, init_train_state, make_train_step
+from .step import (
+    TrainState,
+    init_train_state,
+    make_train_multi_step,
+    make_train_step,
+)
 from .checkpoint import save_checkpoint, load_checkpoint
 from ..data.datasets import load_scene, SceneData
 from ..model.neat import init_neat
@@ -120,7 +125,9 @@ class TrainRunner:
         field_dtype: Optional[str] = None,
         field_path: Optional[str] = None,
         parallel_mode: str = "auto",
+        epoch_scan: bool = False,
     ):
+        self.epoch_scan = epoch_scan
         self.do_vis = do_vis
         self.gitexp = gitexp
         # multi-host: every process traces/executes the same global
@@ -378,7 +385,20 @@ class TrainRunner:
 
             self.state = jax.device_put(self.state, replicated_sharding(mesh))
         self.scene_dev = scene_to_device(self.scene, sharding=mesh)
-        self.step_fn = make_train_step(
+        # epoch_scan: n_views steps inside ONE lax.scan program
+        # (make_train_multi_step) — one host dispatch per epoch instead
+        # of n_views, numerically equivalent to sequential steps
+        # (tests/test_model.py::TestMultiStep). Default OFF: on TPU v5e
+        # the scanned flagship step's steady state EQUALS dispatched
+        # (~28 ms/step — async dispatch already hides the tunnel
+        # latency) and the scan adds a one-time ~32 s second-call
+        # stall (docs/perf_round5.md). Opt in where the step body is
+        # far smaller than the host round-trip.
+        step_kwargs = dict(
+            data_sharding=data_sharding,
+            shard_map_mesh=shard_map_mesh,
+        )
+        step_args = (
             self.cfg.model,
             self.cfg.loss,
             self.cfg.learning_rate,
@@ -386,9 +406,11 @@ class TrainRunner:
             self.decay_steps,
             self.n_rays,
             self.scene.img_res[1],
-            data_sharding=data_sharding,
-            shard_map_mesh=shard_map_mesh,
         )
+        if self.epoch_scan:
+            self.step_fn = make_train_multi_step(*step_args, **step_kwargs)
+        else:
+            self.step_fn = make_train_step(*step_args, **step_kwargs)
 
     # ------------------------------------------------------------------
     def _load_scene(self) -> SceneData:
@@ -563,18 +585,25 @@ class TrainRunner:
                 epoch_rngs = jax.device_put(
                     epoch_rngs, replicated_sharding(self.mesh)
                 )
-            auxes = []
-            for i in range(self.n_views):
-                self.state, aux = self.step_fn(self.state, self.scene_dev, epoch_rngs[i])
-                auxes.append(aux)
+            if self.epoch_scan:
+                self.state, stacked_dev = self.step_fn(
+                    self.state, self.scene_dev, epoch_rngs
+                )
+            else:
+                auxes = []
+                for i in range(self.n_views):
+                    self.state, aux = self.step_fn(
+                        self.state, self.scene_dev, epoch_rngs[i]
+                    )
+                    auxes.append(aux)
+                stacked_dev = {
+                    k: jnp.stack([a[k] for a in auxes]) for k in auxes[0]
+                }
 
             if epoch % self.log_every_epochs == 0:
                 # one stacked transfer per metric key instead of one per
                 # (key, view): per-leaf fetches each pay a tunnel round-trip
-                stacked = {
-                    k: jnp.stack([a[k] for a in auxes]) for k in auxes[0]
-                }
-                stacked = jax.device_get(stacked)
+                stacked = jax.device_get(stacked_dev)
                 means = {
                     k: float(np.mean(v)) for k, v in stacked.items()
                 }
@@ -624,6 +653,14 @@ def main(argv=None):
                         "(strict-parity path; required for dual_batch/"
                         "junction_eikonal). auto picks shard_map whenever "
                         "the pallas kernels are enabled and compatible")
+    parser.add_argument("--epoch_scan", default=False, action="store_true",
+                        help="run each epoch's n_views steps inside one "
+                        "lax.scan program (one host dispatch per epoch; "
+                        "numerically equivalent). Off by default: at "
+                        "flagship step size async dispatch already hides "
+                        "the host latency, so the scan gains nothing and "
+                        "pays a one-time rebind stall "
+                        "(docs/perf_round5.md)")
     parser.add_argument("--do_vis", default=False, action="store_true",
                         help="render preview plots every plot_freq epochs")
     parser.add_argument("--gitexp", default=False, action="store_true",
@@ -699,6 +736,7 @@ def main(argv=None):
         field_dtype=args.field_dtype,
         field_path=args.field_path,
         parallel_mode=args.parallel_mode,
+        epoch_scan=args.epoch_scan,
     )
     runner.run()
 

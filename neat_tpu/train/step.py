@@ -280,14 +280,16 @@ def make_train_multi_step(
 
     multi(state, scene, rngs) -> (state, stacked_metrics)   rngs: (K, key)
 
-    Numerically identical to K sequential ``make_train_step`` calls on the
-    same rng sequence (the scan body IS that step; tests assert exactness).
-    The point is dispatch amortization: each host->device dispatch through
-    the tunneled TPU runtime costs a relay round-trip, which at the
-    reference batch (1024 rays, ~26 ms/step) is a measurable tax per step
-    (tools/bench_breakdown.py quantifies it). The runner uses this to run a
-    whole epoch (one step per view, reference volsdf_train.py:361) in ONE
-    dispatch; the per-epoch metric drain already consumed stacked aux.
+    Numerically equivalent to K sequential ``make_train_step`` calls on
+    the same rng sequence (the scan body IS that step; tests bound the
+    compilation-variant fp drift). Measured on v5e (docs/perf_round5.md):
+    steady-state scan per-step time EQUALS the dispatched step's —
+    JAX's async dispatch already hides the ~30 ms tunnel latency behind
+    the ~28 ms flagship step — and the scan pays a one-time ~32 s
+    second-call stall (donated-layout rebind). So the runner keeps this
+    OPT-IN (--epoch_scan): it only wins when the step body is far
+    smaller than the host round-trip (tools/scan_probe.py's matmul
+    control: 19x), e.g. tiny models or very-high-latency runtimes.
 
     K is fixed by the rngs leading axis at trace time (one compile per
     distinct epoch length; real scenes have a single fixed n_views).

@@ -23,6 +23,16 @@ numbers:
 plus the engaged-path flags (pallas sampler/field, dtype) so a bench run
 that silently fell back to the XLA path is visible.
 
+MEASURED VERDICT (2026-08-20, docs/perf_round5.md): the gap is the
+HARNESS, not dispatch — unchained reproduces the old 38.5-39.1k docs
+number, chained (production) runs 27-29 ms/step, and the scan's steady
+state equals chained (dispatch already hidden by async dispatch).
+CAVEAT on scanK_ms/dispatch_tax_ms as printed by a single run: the
+scanned program pays a ONE-TIME ~32 s stall on its second call
+(layout rebind), which this tool's single timed window averages in —
+read the steady-state number from /tmp/scan_iso-style repeated calls
+(tools/scan_probe.py) before quoting it.
+
 Usage: python tools/bench_breakdown.py [--steps 100] [--scan_k 25]
 Prints one JSON line.
 """
@@ -71,8 +81,12 @@ def main(argv=None):
         make_train_multi_step,
     )
 
+    def stage(msg):
+        print(f"[stage] {msg}", file=sys.stderr, flush=True)
+
     cfg = bench_config()
     scene_dev = bench_scene(cfg)
+    stage("scene on device")
 
     # --- relay round-trip: tiny op + host fetch, median of 9
     x = jnp.ones((8, 8))
@@ -83,6 +97,7 @@ def main(argv=None):
         float(np.asarray(x.sum()))
         rts.append(time.perf_counter() - t0)
     relay_rt = float(np.median(rts))
+    stage(f"relay rt {relay_rt*1e3:.1f} ms")
 
     # --- bench.py's exact structure (donate=True, state threaded)
     def timed_chain(n_steps):
@@ -97,7 +112,10 @@ def main(argv=None):
         float(np.asarray(aux["loss"]))
         return (time.perf_counter() - t0) / n_steps
 
-    chained = {n: timed_chain(n) for n in (20, args.steps)}
+    chained = {}
+    for n in (20, args.steps):
+        chained[n] = timed_chain(n)
+        stage(f"chained{n} {chained[n]*1e3:.2f} ms/step")
 
     # --- phase_timing's structure: same args every call, donate=False
     from neat_tpu.utils.benchscene import bench_step as _bs
@@ -113,6 +131,7 @@ def main(argv=None):
         out = step_nd(state_nd, scene_dev, rng)
     float(np.asarray(out[1]["loss"]))
     unchained = (time.perf_counter() - t0) / args.steps
+    stage(f"unchained {unchained*1e3:.2f} ms/step")
 
     # --- K steps inside ONE program: the device's true per-step time
     multi = make_train_multi_step(

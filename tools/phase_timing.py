@@ -11,6 +11,12 @@ so backward+optimizer ~= step - forward, and the accounting tool's
 per-phase bytes (tools/bytes_accounting.py) can be converted into
 effective per-phase bandwidths.
 
+NOTE (round 5): this harness passes the SAME (state, rng) every call
+without threading state — fine for RELATIVE phase comparisons, but its
+absolute step time reads ~7% faster than the production structure
+(state threaded, fresh rng per step). Do not quote it as training
+throughput; bench.py measures that. Attribution: docs/perf_round5.md.
+
 Usage: python tools/phase_timing.py [--platform cpu|axon] [--steps 20]
 Prints one JSON line.
 """
