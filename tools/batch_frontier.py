@@ -52,12 +52,37 @@ def measure(n_rays: int, steps: int, warmup: int):
     return n_rays * steps / dt, dt / steps
 
 
+def measure_isolated(n_rays: int, steps: int, warmup: int, timeout: int):
+    """One batch point in its own subprocess: a TPU worker crash (observed
+    at 8192 rays, round 5) or relay wedge costs only that point."""
+    import subprocess
+
+    cmd = [sys.executable, osp.abspath(__file__), "--batches", str(n_rays),
+           "--steps", str(steps), "--warmup", str(warmup), "--no-isolate"]
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return None, "timeout"
+    for line in out.stdout.splitlines():
+        if line.startswith("["):
+            return json.loads(line)[0], None
+    err = (out.stdout + out.stderr).strip().splitlines()
+    return None, err[-1] if err else f"rc={out.returncode}"
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--batches", type=int, nargs="+",
                         default=[1024, 2048, 4096, 8192])
     parser.add_argument("--steps", type=int, default=50)
     parser.add_argument("--warmup", type=int, default=5)
+    parser.add_argument("--no-isolate", default=False, action="store_true",
+                        dest="no_isolate",
+                        help="measure in-process (single-batch recursion "
+                        "target of the default subprocess isolation)")
+    parser.add_argument("--point-timeout", type=int, default=600,
+                        dest="point_timeout")
     parser.add_argument("--out", default=None)
     args = parser.parse_args(argv)
 
@@ -65,14 +90,26 @@ def main(argv=None):
 
     enable_compilation_cache()
 
-    rows = []
+    rows, failures = [], []
     for b in args.batches:
-        rps, spstep = measure(b, args.steps, args.warmup)
-        rows.append(dict(n_rays=b, rays_per_sec=round(rps, 1),
-                         ms_per_step=round(1e3 * spstep, 2),
-                         speedup_vs_1024=None))
-        print(f"n_rays={b}: {rps:,.0f} rays/s ({1e3 * spstep:.2f} ms/step)",
-              flush=True)
+        if args.no_isolate:
+            rps, spstep = measure(b, args.steps, args.warmup)
+            row = dict(n_rays=b, rays_per_sec=round(rps, 1),
+                       ms_per_step=round(1e3 * spstep, 2),
+                       speedup_vs_1024=None)
+        else:
+            row, err = measure_isolated(b, args.steps, args.warmup,
+                                        args.point_timeout)
+            if row is None:
+                failures.append(dict(n_rays=b, error=err))
+                print(f"n_rays={b}: FAILED ({err})", flush=True)
+                continue
+        rows.append(row)
+        print(f"n_rays={b}: {row['rays_per_sec']:,.0f} rays/s "
+              f"({row['ms_per_step']:.2f} ms/step)", flush=True)
+    if not rows:
+        print(json.dumps([]))
+        return
     base = rows[0]["rays_per_sec"]
     for r in rows:
         r["speedup_vs_1024"] = round(r["rays_per_sec"] / base, 3)
@@ -89,6 +126,9 @@ def main(argv=None):
         f"| {r['n_rays']} | {r['rays_per_sec']:,.0f} | {r['ms_per_step']} "
         f"| {r['speedup_vs_1024']}x |"
         for r in rows
+    ] + [
+        f"| {f['n_rays']} | FAILED: {f['error']} | - | - |"
+        for f in failures
     ]
     text = "\n".join(lines)
     print(text)

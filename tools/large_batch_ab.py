@@ -50,9 +50,9 @@ FLAGSHIP_CONF = osp.join(
 _RAYS_RE = re.compile(r"\(([\d,]+) rays/s\)")
 
 
-def write_arm_conf(workdir, arm, num_pixels, lr):
-    """Flagship conf with the arm's (num_pixels, lr, expname) patched in."""
-    with open(FLAGSHIP_CONF) as f:
+def write_arm_conf(workdir, arm, num_pixels, lr, base_conf=FLAGSHIP_CONF):
+    """Base conf with the arm's (num_pixels, lr, expname) patched in."""
+    with open(base_conf) as f:
         text = f.read()
     text = re.sub(r"expname = \S+", f"expname = lb_{arm}", text)
     text = re.sub(r"learning_rate = \S+", f"learning_rate = {lr!r}", text)
@@ -80,7 +80,8 @@ def median_rays(rundir):
 def run_arm(arm, args, num_pixels, nepoch, lr):
     from neat_tpu.train.runner import TrainRunner
 
-    conf_path = write_arm_conf(args.workdir, arm, num_pixels, lr)
+    conf_path = write_arm_conf(args.workdir, arm, num_pixels, lr,
+                               base_conf=args.conf)
     exps = osp.join(args.workdir, f"exps_{arm}")
     runconfs = sorted(glob.glob(osp.join(exps, "lb_*", "*", "runconf.conf")))
     if arm in args.skip_train and runconfs:
@@ -112,7 +113,7 @@ def finalize_arm(rec, args):
     from neat_tpu.evaluation.eval_abc import eval_abc, load_scale_mat
     from neat_tpu.wireframe.finalize import wireframe_recon
 
-    scan_dir = osp.join(args.data_root, "abc", "00075213")
+    scan_dir = args.scan_dir or osp.join(args.data_root, "abc", "00075213")
     with open(osp.join(scan_dir, "lines.json")) as f:
         jgt = np.asarray(json.load(f)["junctions"])
     scale_mat = load_scale_mat(scan_dir)
@@ -124,6 +125,9 @@ def finalize_arm(rec, args):
         checkpoint="latest",
         vote_ratio=args.vote_ratio,
         junction_merge_eps=args.merge_eps,
+        merge_before_vote=args.merge_before_vote,
+        junction_coords=args.junction_coords,
+        check_view_ratio=args.check_view_ratio,
         data_root=args.data_root,
         # per-view distillation lines double as the watchdog heartbeat
         verbose=True,
@@ -153,6 +157,13 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--workdir", default="/tmp/lb_ab")
     parser.add_argument("--data_root", default="/root/reference/data")
+    parser.add_argument("--conf", default=FLAGSHIP_CONF,
+                        help="base conf for both arms (default: the "
+                        "flagship abc-neat-a.conf; pass a geometry-sweep "
+                        "scene conf to A/B on a synthetic family)")
+    parser.add_argument("--scan-dir", default=None, dest="scan_dir",
+                        help="scene dir holding lines.json + cameras.npz "
+                        "(default: <data_root>/abc/00075213)")
     parser.add_argument("--batch", type=int, default=4096)
     parser.add_argument("--base-nepoch", type=int, default=2000)
     parser.add_argument("--large-nepoch", type=int, default=None,
@@ -163,6 +174,13 @@ def main(argv=None):
     parser.add_argument("--base-lr", type=float, default=5.0e-4)
     parser.add_argument("--vote-ratio", type=float, default=0.2)
     parser.add_argument("--merge-eps", type=float, default=0.02)
+    parser.add_argument("--merge-before-vote", default=False,
+                        action="store_true", dest="merge_before_vote")
+    parser.add_argument("--junction-coords", default="latent",
+                        choices=["latent", "vote_mean", "vote_median"],
+                        dest="junction_coords")
+    parser.add_argument("--check-view-ratio", type=float, default=0.0,
+                        dest="check_view_ratio")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--skip-train", nargs="*", default=[],
                         choices=["baseline", "large"],
@@ -204,11 +222,13 @@ def main(argv=None):
     lines = [
         "# Quality-matched large-batch schedule A/B",
         "",
-        f"ABC toy scan 00075213, matched total rays "
+        f"scene {args.scan_dir or 'abc/00075213'}, matched total rays "
         f"({args.base_nepoch} x 1024 vs {large_nepoch} x {args.batch}), "
-        f"lr scaling {args.lr_scale} (x{scale:.2f}), shipped recipe "
+        f"lr scaling {args.lr_scale} (x{scale:.2f}), recipe "
         f"--vote-ratio {args.vote_ratio} --junction-merge-eps "
-        f"{args.merge_eps}, seed {args.seed}",
+        f"{args.merge_eps} merge-before-vote={args.merge_before_vote} "
+        f"junction-coords={args.junction_coords} "
+        f"check-view-ratio={args.check_view_ratio}, seed {args.seed}",
         "",
         "| arm | rays/step | epochs | lr | train wall (s) | rays/s | "
         "nJ | jP | jR | nL | lP | lR | jP@2% | lP@2% | margin |",

@@ -54,6 +54,11 @@ def main(argv=None):
                         help="junction-proposal assignment backend "
                         "(tools/auction_ab_dtu.py A/Bs this at DTU shapes)")
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--no-eval", default=False, action="store_true",
+                        dest="no_eval",
+                        help="stop after training (trajectory-comparison "
+                        "arms in tools/auction_ab_dtu.py do their own "
+                        "log/checkpoint analysis)")
     parser.add_argument("--vote-ratio", type=float, default=0.0,
                         dest="vote_ratio",
                         help="view-count-relative junction vote gate "
@@ -97,6 +102,9 @@ def main(argv=None):
             stamps = sorted(glob.glob(osp.join(exps, "*", "*")))
         rundir = stamps[-1]
     print(f"rundir: {rundir}", flush=True)
+
+    if args.no_eval:
+        return
 
     from neat_tpu.wireframe.finalize import wireframe_recon
 
