@@ -384,8 +384,23 @@ def neat_forward(
     use_fused_field = cfg.use_pallas_field and cfg.model_variant == "neat"
     lines3d_flat = None
     if use_fused_field:
-        from ..ops.fused_field import fused_field_eval, supports_fused_field
+        from ..ops.fused_field import (
+            MAX_FUSED_FIELD_BWD_POINTS,
+            fused_field_eval,
+            supports_fused_field,
+        )
 
+        if training and points_flat.shape[0] > MAX_FUSED_FIELD_BWD_POINTS:
+            raise ValueError(
+                f"the fused pallas field backward kernel hard-faults the "
+                f"TPU worker above {MAX_FUSED_FIELD_BWD_POINTS} points "
+                f"(measured on v5e; docs/batch_frontier_r5.md) and this "
+                f"step needs {points_flat.shape[0]} "
+                f"({n_rays} rays x {n_samples} samples); lower num_pixels "
+                f"to <= {MAX_FUSED_FIELD_BWD_POINTS // n_samples} or set "
+                f"use_pallas_field=False (forward-only inference at this "
+                f"size is fine)"
+            )
         if not supports_fused_field(cfg.implicit, cfg.rendering, cfg.attraction):
             raise ValueError(
                 "use_pallas_field=True but the network architecture is not "

@@ -52,6 +52,15 @@ TILE = 256
 # the 16 MB default instead of shrinking the tile
 BWD_VMEM_LIMIT = 100 * 1024 * 1024
 
+# Validated ceiling for DIFFERENTIATED fused-field calls. Measured on a
+# real v5e (2026-08-20, docs/batch_frontier_r5.md): both backward kernels
+# (stash and recompute) hard-fault the TPU worker at 802,816 points
+# (8192 rays x 98 samples, grid 3136) while 401,408 points (4096 rays,
+# grid 1568) trains correctly; the FORWARD kernels run fine at 802,816.
+# Training above this ceiling must refuse at trace time instead of
+# crashing the worker (neat.forward enforces it).
+MAX_FUSED_FIELD_BWD_POINTS = 4096 * 98
+
 N_IMPLICIT_LAYERS = 9
 N_HEAD_LAYERS = 5  # rendering / attraction MLPs: 4 hidden + 1 out
 

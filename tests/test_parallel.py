@@ -585,6 +585,43 @@ def _spawn_worker(args, extra_env=None):
     )
 
 
+class TestFusedFieldBatchCeiling:
+    """Training through the fused pallas field above the validated point
+    count must refuse at trace time: on a real v5e both backward kernels
+    (stash and recompute) hard-fault the TPU worker at 8192 rays x 98
+    samples while 4096 rays trains correctly and the forward kernels run
+    fine at either size (measured 2026-08-20, docs/batch_frontier_r5.md).
+    A trace-time ValueError turns a worker crash into a config error."""
+
+    def _canonical_cfg(self):
+        return dataclasses.replace(
+            NeatConfig.for_abc(),
+            use_pallas_field=True,
+            pallas_field_backward="stash",
+            field_compute_dtype="bfloat16",
+            max_verts=8,
+        )
+
+    def _trace(self, n_rays):
+        cfg = self._canonical_cfg()
+        scene = {k: jnp.asarray(v) for k, v in _tiny_scene().items()}
+        params = jax.eval_shape(lambda k: init_neat(k, cfg), jax.random.PRNGKey(0))
+        state = jax.eval_shape(
+            lambda p: init_train_state(p, 5e-4, 0.1, 100), params
+        )
+        step = make_train_step(
+            cfg, LossConfig(), 5e-4, 0.1, 100, n_rays, IMG_W, donate=False
+        )
+        jax.eval_shape(step, state, scene, jax.random.PRNGKey(1))
+
+    def test_above_ceiling_raises_at_trace_time(self):
+        with pytest.raises(ValueError, match="hard-faults"):
+            self._trace(8192)
+
+    def test_at_ceiling_traces(self):
+        self._trace(4096)
+
+
 @pytest.mark.slow
 class TestMultiHost:
     """The DCN path, executed: two OS processes, 4 virtual CPU devices
