@@ -73,3 +73,52 @@ class TestTpuHealthProbe:
         monkeypatch.setattr(subprocess, "run",
                             lambda *a, **k: R())
         assert bench._tpu_op_completes(timeout_s=0.1, attempts=1) is True
+
+
+class TestBenchSupervisor:
+    """bench.py's measurement subprocess supervisor: a freshly-attached
+    client can wedge on its first heavy dispatch even when both health
+    probes pass (observed three times on 2026-08-20); the supervisor must
+    kill the hung attempt (which itself unwedges the relay) and retry,
+    and must surface the child's JSON line on success."""
+
+    def _bench(self, monkeypatch):
+        bench = _load("bench", ROOT / "bench.py")
+        monkeypatch.setattr(bench, "_tpu_relay_alive", lambda: True)
+        monkeypatch.setattr(bench, "_tpu_op_completes", lambda: True)
+        return bench
+
+    def test_retries_after_hang_and_echoes_json(self, monkeypatch, capsys):
+        import subprocess
+
+        bench = self._bench(monkeypatch)
+        calls = []
+
+        def fake_run(cmd, timeout=None, capture_output=False, text=False):
+            calls.append(cmd)
+            if len(calls) == 1:
+                raise subprocess.TimeoutExpired(cmd, timeout)
+
+            class R:
+                returncode = 0
+                stdout = 'warmup noise\n{"metric": "x", "value": 1}\n'
+                stderr = ""
+
+            return R()
+
+        monkeypatch.setattr(bench.subprocess, "run", fake_run)
+        assert bench._supervise(attempts=3, deadline_s=0.1) == 0
+        assert len(calls) == 2 and "--measure" in calls[0]
+        assert capsys.readouterr().out.strip() == '{"metric": "x", "value": 1}'
+
+    def test_all_attempts_hung_fails_loudly(self, monkeypatch):
+        import subprocess
+
+        bench = self._bench(monkeypatch)
+
+        def fake_run(cmd, timeout=None, capture_output=False, text=False):
+            raise subprocess.TimeoutExpired(cmd, timeout)
+
+        monkeypatch.setattr(bench.subprocess, "run", fake_run)
+        out = bench._supervise(attempts=2, deadline_s=0.1)
+        assert isinstance(out, str) and "no measurement attempt" in out
